@@ -1,0 +1,210 @@
+"""Fused V1 flash-attention Pallas kernel.
+
+TPU-native re-design of the reference's fused single-kernel forward
+(flash_attention_v1/CUDA/flash_attention_v1.h:161-248 baseline,
+flash_attention_v1_opt1.h WMMA variant):
+
+- the CUDA grid ``(ceil(L/BQ), B*H)`` becomes the Pallas grid
+  ``(B*H, n_q_blocks, n_kv_blocks)`` — the KV-tile loop that CUDA runs
+  in-kernel (flash_attention_v1.h:222-240) is the innermost *sequential*
+  grid axis here so Pallas double-buffers the K/V HBM->VMEM streams
+  automatically (the role of load_shared_memory.h's vectorized copies);
+- shared-memory tiles map to VMEM blocks; the f32 (m, l, O_acc) running
+  state maps to VMEM scratch that persists across the sequential axis
+  (the TPU analog of registers + smem statistics);
+- WMMA maps to the MXU: both tile matmuls are ``jax.lax.dot_general`` with
+  ``preferred_element_type=float32`` — there is no separate "opt" kernel,
+  the optimization axis is block-size/layout tuning (SURVEY §2.5);
+- the 5-phase ``__syncthreads`` discipline disappears: Pallas's pipelined
+  execution model sequences the phases by dataflow.
+
+Numerics follow the reference's mixed-precision policy: low-precision
+storage (bf16), f32 scores/statistics/accumulator, probabilities cast back
+to storage dtype for the P@V matmul (as the CUDA kernel's half exp_S,
+flash_attention_v1.h:148-156).
+
+Extensions beyond the reference surface: optional causal masking,
+cross-length (L_kv != L_q) attention, and ragged (non-divisible) sequence
+lengths via in-kernel masking.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exploring_flash_attention_tpu.configs import TileConfig, cdiv
+
+NEG_INF = float("-inf")
+# m/l statistics are stored broadcast across a full 128-lane vector so the
+# scratch keeps the native (sublane, lane) tiling.
+STATS_LANES = 128
+
+
+def _resolve_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _v1_kernel(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, BK, d), (1, BK, d)
+    o_ref,                      # VMEM block:  (1, BQ, d)
+    acc_ref, m_ref, l_ref,      # scratch: (BQ, d) f32, (BQ, 128) f32, (BQ, 128) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # S = Q K^T * scale on the MXU, f32 accumulate (reference
+    # mat_mul_scaled_basic, flash_attention_v1.h:51-66).
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= scale
+
+    # Mask padded KV columns (ragged L_kv) and/or the causal triangle.
+    needs_kv_mask = seq_len_kv % block_kv != 0
+    if needs_kv_mask or causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        col = col + kv_idx * block_kv
+        mask = None
+        if needs_kv_mask:
+            mask = col < seq_len_kv
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            row = row + pl.program_id(1) * block_q
+            cmask = col <= row + (seq_len_kv - seq_len_q)
+            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+        s = jnp.where(mask, s, NEG_INF)
+
+    # Online-softmax state update (the process_kv_tile contract,
+    # sim/tile_loop.py:process_kv_tile).
+    m_prev = m_ref[...]                                   # (BQ, 128)
+    m_cur = jnp.max(s, axis=1, keepdims=True)             # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)                    # broadcast to lanes
+    alpha = jnp.exp(m_prev - m_new)                       # (BQ, 128)
+    # guard: fully-masked row keeps m = -inf; exp(-inf - -inf) -> use 0
+    alpha = jnp.where(jnp.isneginf(m_new), 0.0, alpha)
+    p = jnp.exp(s - m_new[:, :1])                         # (BQ, BK) f32
+    if causal or needs_kv_mask:
+        p = jnp.where(jnp.isneginf(s), 0.0, p)            # kill -inf - -inf nans
+
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    v = v_ref[0]
+    if needs_kv_mask:
+        # padded V rows hold undefined values (NaN under interpret); zero
+        # them so p=0 columns can't poison the matmul via 0*NaN
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+        vrow = vrow + kv_idx * block_kv
+        v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+    # P @ V with P cast to storage dtype for full MXU rate (the reference's
+    # half exp_S path, flash_attention_v1.h:148-156).
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _finalize():
+        # O = O_acc / l (reference finalize, flash_attention_v1.h:243-247);
+        # guard fully-masked rows (l == 0) to emit zeros, not NaN.
+        l = l_ref[:, :1]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "causal", "scale", "interpret", "out_dtype"),
+)
+def flash_attention_v1(
+    q: jax.Array,               # [B, H, Lq, d]
+    k: jax.Array,               # [B, H, Lkv, d]
+    v: jax.Array,               # [B, H, Lkv, d]
+    config: TileConfig = TileConfig(),
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Fused single-kernel flash attention forward on [B, H, L, d] inputs."""
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    if k.shape != (b, h, lkv, d) or v.shape != (b, h, lkv, d):
+        raise ValueError(f"shape mismatch: q={q.shape} k={k.shape} v={v.shape}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    out_dtype = out_dtype or q.dtype
+
+    block_q = min(config.block_q, max(lq, 8))
+    block_kv = min(config.block_kv, max(lkv, 8))
+    n_bh = b * h
+    n_q = cdiv(lq, block_q)
+    n_kv = cdiv(lkv, block_kv)
+
+    qf = q.reshape(n_bh, lq, d)
+    kf = k.reshape(n_bh, lkv, d)
+    vf = v.reshape(n_bh, lkv, d)
+
+    kernel = functools.partial(
+        _v1_kernel,
+        scale=scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        seq_len_q=lq,
+        seq_len_kv=lkv,
+        causal=causal,
+    )
+
+    flops = 4 * n_bh * lq * lkv * d
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
+            pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize
+            + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
+            transcendentals=n_bh * lq * lkv,
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(qf, kf, vf)
+    return out.reshape(b, h, lq, d)

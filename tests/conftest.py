@@ -1,18 +1,15 @@
 """Test env: force an 8-device virtual CPU mesh so multi-chip sharding logic
 runs without a pod, and so Pallas kernels exercise interpret mode.
 
-Must run before anything imports jax, hence the env mutation at module import
-time (pytest imports conftest first).
+NOTE: this environment's axon TPU plugin overrides the ``JAX_PLATFORMS``
+env var, so the only reliable way to force CPU is ``jax.config.update``
+immediately after import — before any backend is initialized by a test.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,105 @@
+"""Fused V1 Pallas kernel vs oracle (interpret mode on CPU — the TPU analog
+of the reference's fake-GPU NumPy validation, SURVEY §4.3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exploring_flash_attention_tpu.configs import TileConfig
+from exploring_flash_attention_tpu.oracle.reference import (
+    check_accuracy,
+    error_stats,
+    make_qkv,
+    naive_attention,
+)
+from exploring_flash_attention_tpu.ops import flash_attention_v1
+
+
+def run_v1(q, k, v, **kw):
+    return np.asarray(
+        flash_attention_v1(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), **kw)
+    )
+
+
+def test_v1_f32_small():
+    q, k, v = make_qkv(1, 2, 256, 128, dtype=np.float32, seed=0)
+    out = run_v1(q, k, v, config=TileConfig(block_q=128, block_kv=128))
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+@pytest.mark.parametrize("bq,bk", [(64, 128), (128, 64), (256, 128)])
+def test_v1_block_shapes(bq, bk):
+    q, k, v = make_qkv(1, 1, 256, 64, dtype=np.float32, seed=1)
+    out = run_v1(q, k, v, config=TileConfig(block_q=bq, block_kv=bk))
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+def test_v1_bf16_reference_shape_d32():
+    # reference CUDA-baseline shape (driver.cu:140-143) at reduced batch;
+    # oracle computed on bf16-rounded inputs so input quantization is excluded
+    q, k, v = make_qkv(2, 8, 1024, 32, dtype=np.float32, seed=2)
+    qb, kb, vb = (x.astype(jnp.bfloat16).astype(np.float32) for x in (q, k, v))
+    out = run_v1(
+        qb.astype(jnp.bfloat16), kb.astype(jnp.bfloat16), vb.astype(jnp.bfloat16),
+        config=TileConfig(block_q=256, block_kv=256),
+    )
+    check_accuracy(out.astype(np.float32), naive_attention(qb, kb, vb), name="v1 bf16 d32")
+
+
+def test_v1_bf16_d128_tight():
+    # the BASELINE gate: max|delta| <= 1e-3 vs reference at matched bit-width.
+    # bf16 storage / f32 stats, compared against the f64 oracle computed on
+    # bf16-rounded inputs (so input quantization is excluded).
+    q, k, v = make_qkv(1, 4, 512, 128, dtype=np.float32, seed=3)
+    qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32))
+    kb = np.asarray(jnp.asarray(k).astype(jnp.bfloat16).astype(jnp.float32))
+    vb = np.asarray(jnp.asarray(v).astype(jnp.bfloat16).astype(jnp.float32))
+    out = run_v1(
+        jnp.asarray(qb).astype(jnp.bfloat16),
+        jnp.asarray(kb).astype(jnp.bfloat16),
+        jnp.asarray(vb).astype(jnp.bfloat16),
+        out_dtype=jnp.float32,
+    )
+    assert error_stats(out, naive_attention(qb, kb, vb))["max_abs"] < 1.5e-2
+
+
+def test_v1_ragged_kv_len():
+    # L_kv not divisible by block_kv -> in-kernel masking path
+    q, k, v = make_qkv(1, 2, 128, 64, dtype=np.float32, seq_len_kv=200, seed=4)
+    out = run_v1(q, k, v, config=TileConfig(block_q=128, block_kv=128))
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+def test_v1_ragged_q_len():
+    q, k, v = make_qkv(1, 1, 100, 64, dtype=np.float32, seq_len_kv=128, seed=5)
+    out = run_v1(q, k, v, config=TileConfig(block_q=64, block_kv=128))
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+def test_v1_causal():
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=6)
+    out = run_v1(q, k, v, causal=True)
+    assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
+
+
+def test_v1_causal_cross_length():
+    # decode-style: 64 new queries attending to 256 total positions
+    q, k, v = make_qkv(1, 2, 64, 64, dtype=np.float32, seq_len_kv=256, seed=7)
+    out = run_v1(q, k, v, causal=True)
+    assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
+
+
+def test_v1_matches_sim_exactly_in_structure():
+    # kernel vs the executable spec (fused sim), not just the oracle
+    from exploring_flash_attention_tpu.sim import flash_attention_tiled_fused
+
+    q, k, v = make_qkv(1, 1, 256, 64, dtype=np.float32, seed=8)
+    out = run_v1(q, k, v, config=TileConfig(block_q=64, block_kv=64))
+    sim = flash_attention_tiled_fused(q, k, v, 64, 64)
+    np.testing.assert_allclose(out, sim, atol=1e-5, rtol=1e-5)
+
+
+def test_v1_scale_override():
+    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
+    out = run_v1(q, k, v, scale=0.25)
+    assert error_stats(out, naive_attention(q, k, v, scale=0.25))["max_abs"] < 2e-5
