@@ -1,0 +1,89 @@
+"""Benchmark harness — the role of the reference's driver.cu timing loops
+(flash_attention_v1/CUDA/driver.cu:218-243: warmup + timed runs around the
+launcher), built for an environment where host<->device round-trips are
+expensive and ``block_until_ready`` cannot be trusted (axon tunnel).
+
+Technique: chain N kernel invocations inside ONE jitted computation with a
+data dependency between iterations (lax.scan feeding the output back as the
+query), then force completion by pulling a scalar to host.  Timing two chain
+lengths and differencing removes the constant dispatch/transfer overhead —
+the per-iteration delta is pure device time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def time_fn_chained(
+    fn: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_long: int = 24,
+    n_short: int = 4,
+    reps: int = 3,
+) -> float:
+    """Median per-iteration seconds of ``x -> fn(x)`` chained on-device.
+
+    ``fn`` must map an array to an array of the same shape/dtype (attention
+    with q := output does).  The scan carry creates the data dependency that
+    prevents XLA from parallelizing or eliminating iterations.
+    """
+
+    def chain(n):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return fn(c), ()
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(c.astype(jnp.float32))
+        return run
+
+    run_long, run_short = chain(n_long), chain(n_short)
+    # compile + warm both
+    float(run_long(x0))
+    float(run_short(x0))
+
+    deltas = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_short(x0))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_long(x0))
+        t_long = time.perf_counter() - t0
+        deltas.append((t_long - t_short) / (n_long - n_short))
+    deltas.sort()
+    return deltas[len(deltas) // 2]
+
+
+def attention_flops(b: int, h: int, lq: int, lkv: int, d: int, causal: bool = False) -> int:
+    """Forward attention FLOPs: 2 matmuls of 2*L*L*d each per (b, h)."""
+    f = 4 * b * h * lq * lkv * d
+    return f // 2 if causal else f
+
+
+# TPU v5e (v5 lite) per-chip peak numbers, public spec.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_INT8_TOPS = 394.0
+V5E_HBM_GBPS = 819.0
+
+
+def roofline_attention_tflops(
+    b: int, h: int, l: int, d: int,
+    dtype_bytes: int = 2,
+    peak_tflops: float = V5E_PEAK_BF16_TFLOPS,
+    hbm_gbps: float = V5E_HBM_GBPS,
+) -> float:
+    """Attainable TFLOP/s for the fwd attention kernel on one chip.
+
+    min(MXU peak, HBM-bandwidth bound): bytes moved are Q, K, V, O once
+    each (flash attention's whole point — no L^2 traffic)."""
+    flops = attention_flops(b, h, l, l, d)
+    bytes_moved = 4 * b * h * l * d * dtype_bytes
+    intensity = flops / bytes_moved                     # flops per byte
+    bw_bound = intensity * hbm_gbps / 1e3               # TFLOP/s
+    return min(peak_tflops, bw_bound)
