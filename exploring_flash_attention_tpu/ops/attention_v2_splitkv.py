@@ -1,0 +1,283 @@
+"""Split-KV V2 flash attention — Pallas forward+combine kernel pair.
+
+TPU-native re-design of the reference's two-kernel V2
+(flash_attention_v2/CUDA/flash_attention_v2.h): parallelism over KV blocks as
+well as Q blocks.  The forward kernel's grid gains a ``kv_block`` axis; each
+program streams only its span of KV tiles and writes a partial result to an
+HBM workspace; the combine kernel merges the partials with softmax rescaling.
+
+Deltas vs the reference design (deliberate, per SURVEY §7):
+
+- the workspace stores the **normalized** partial output and the
+  log-sum-exp ``lse = m + log(l)`` instead of raw (m, l) + unnormalized O
+  (reference flash_attention_v2.h:321-340) — more robust at low precision,
+  and exactly the triple that crosses chips in ring/x-host attention;
+- the workspace is an XLA-managed kernel output, not a per-call
+  cudaMalloc/Free (the reference quirk flagged at SURVEY §7 end);
+- the phase-1/phase-2 barrier is XLA dataflow, not cudaDeviceSynchronize;
+- no separate WMMA variant: both matmuls are MXU ops, tuning is block sizes.
+
+The partial/combine halves are exported separately
+(:func:`flash_attention_splitkv_partial`, :func:`splitkv_combine`) because a
+partial+LSE forward is the building block of decode (flash-decoding style
+split over a long KV cache) and of cross-chip attention
+(parallel/splitkv_xhost.py, parallel/ring.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exploring_flash_attention_tpu.configs import SplitKVConfig, cdiv
+from exploring_flash_attention_tpu.ops.attention_v1 import (
+    NEG_INF,
+    STATS_LANES,
+    _resolve_interpret,
+)
+
+
+def _splitkv_fwd_kernel(
+    q_ref, k_ref, v_ref,          # (1, BQ, d), (1, SPAN, d), (1, SPAN, d)
+    o_part_ref, lse_ref,          # (1, 1, BQ, d) f32, (1, 1, 8, BQ) f32
+                                  # (lse carries a padded 8-sublane dim to
+                                  # satisfy the TPU (8, 128) tiling rule)
+    acc_ref, m_ref, l_ref,        # scratch
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    kv_span: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+):
+    kb = pl.program_id(2)
+    q = q_ref[0]
+    n_tiles = kv_span // block_kv
+
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    span_start = kb * kv_span
+    q_start = pl.program_id(1) * block_q     # hoisted: program_id cannot be
+                                             # read inside the loop body under
+                                             # interpret mode
+    needs_kv_mask = seq_len_kv % block_kv != 0 or seq_len_kv % kv_span != 0
+
+    def tile_step(t, _):
+        k_t = k_ref[0, pl.ds(t * block_kv, block_kv), :]
+        v_t = v_ref[0, pl.ds(t * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s *= scale
+        if needs_kv_mask or causal:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            col = col + span_start + t * block_kv
+            mask = None
+            if needs_kv_mask:
+                mask = col < seq_len_kv
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                row = row + q_start
+                cmask = col <= row + (seq_len_kv - seq_len_q)
+                mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.where(
+            jnp.isneginf(m_new), 0.0, jnp.exp(m_prev - m_new)
+        )
+        p = jnp.exp(s - m_new[:, :1])
+        if needs_kv_mask or causal:
+            p = jnp.where(jnp.isneginf(s), 0.0, p)
+        m_ref[...] = m_new
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if needs_kv_mask:
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+            vrow = vrow + span_start + t * block_kv
+            v_t = jnp.where(vrow < seq_len_kv, v_t, jnp.zeros_like(v_t))
+        pv = jax.lax.dot_general(
+            p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, tile_step, (), unroll=True)
+
+    # write normalized partial + lse (zero / -inf for fully-masked rows)
+    l = l_ref[:, :1]
+    denom = jnp.where(l == 0.0, 1.0, l)
+    o_part_ref[0, 0] = acc_ref[...] / denom
+    m_final = m_ref[:, 0]
+    lse = jnp.where(
+        l[:, 0] == 0.0,
+        NEG_INF,
+        m_final + jnp.log(l[:, 0]),
+    )
+    lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], (8, block_q))
+
+
+def _combine_kernel(o_part_ref, lse_ref, o_ref, *, out_dtype):
+    # blocks: (1, nkb, BQ, d) f32, (1, nkb, BQ) f32 -> (1, BQ, d)
+    lse = lse_ref[0]                                  # (nkb, BQ)
+    o_parts = o_part_ref[0]                           # (nkb, BQ, d)
+    m_g = jnp.max(lse, axis=0, keepdims=True)         # (1, BQ)
+    m_safe = jnp.where(jnp.isneginf(m_g), 0.0, m_g)
+    w = jnp.exp(lse - m_safe)                         # (nkb, BQ)
+    denom = jnp.sum(w, axis=0, keepdims=True)
+    w = w / jnp.where(denom == 0.0, 1.0, denom)
+    merged = jnp.sum(o_parts * w[..., None], axis=0)  # (BQ, d)
+    o_ref[0] = merged.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "causal", "scale", "interpret", "workspace_dtype"),
+)
+def flash_attention_splitkv_partial(
+    q: jax.Array,                 # [B, H, Lq, d]
+    k: jax.Array,                 # [B, H, Lkv, d]
+    v: jax.Array,
+    config: SplitKVConfig = SplitKVConfig(),
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    workspace_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Phase 1: returns (o_partial [B,H,nkb,Lq,d], lse [B,H,nkb,Lq])."""
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    block_q = min(config.block_q, max(lq, 8))
+    block_kv = min(config.block_kv, max(lkv, 8))
+    kv_span = min(config.kv_tiles_per_block * block_kv, max(lkv, block_kv))
+    n_bh = b * h
+    n_q = cdiv(lq, block_q)
+    n_kb = cdiv(lkv, kv_span)
+
+    qf = q.reshape(n_bh, lq, d)
+    kf = k.reshape(n_bh, lkv, d)
+    vf = v.reshape(n_bh, lkv, d)
+
+    kernel = functools.partial(
+        _splitkv_fwd_kernel,
+        scale=scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        kv_span=kv_span,
+        seq_len_q=lq,
+        seq_len_kv=lkv,
+        causal=causal,
+    )
+    o_part, lse = pl.pallas_call(
+        kernel,
+        grid=(n_bh, n_q, n_kb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
+            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bh, qi, kb: (bh, kb, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, block_q), lambda bh, qi, kb: (bh, kb, 0, qi)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_bh, n_kb, lq, d), workspace_dtype),
+            jax.ShapeDtypeStruct((n_bh, n_kb, 8, lq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
+            pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(qf, kf, vf)
+    return (
+        o_part.reshape(b, h, n_kb, lq, d),
+        lse[:, :, 0, :].reshape(b, h, n_kb, lq),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "out_dtype", "interpret")
+)
+def splitkv_combine(
+    o_partials: jax.Array,        # [B, H, nkb, Lq, d]
+    lses: jax.Array,              # [B, H, nkb, Lq]
+    block_q: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Phase 2: merge partials (reference reduction_kernel,
+    flash_attention_v2.h:356-435) via the LSE rescale rule."""
+    b, h, n_kb, lq, d = o_partials.shape
+    out_dtype = out_dtype or o_partials.dtype
+    block_q = min(block_q, max(lq, 8))
+    n_bh = b * h
+    n_q = cdiv(lq, block_q)
+    of = o_partials.reshape(n_bh, n_kb, lq, d)
+    lf = lses.reshape(n_bh, n_kb, lq)
+
+    out = pl.pallas_call(
+        functools.partial(_combine_kernel, out_dtype=out_dtype),
+        grid=(n_bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, n_kb, block_q, d), lambda bh, qi: (bh, 0, qi, 0)),
+            pl.BlockSpec((1, n_kb, block_q), lambda bh, qi: (bh, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(of, lf)
+    return out.reshape(b, h, lq, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "causal", "scale", "interpret", "out_dtype"),
+)
+def flash_attention_v2(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    config: SplitKVConfig = SplitKVConfig(),
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Full split-KV pair: forward workspace + combine (reference
+    flash_attention_v2.h:438-508 host orchestration, minus the per-call
+    workspace malloc)."""
+    out_dtype = out_dtype or q.dtype
+    o_part, lse = flash_attention_splitkv_partial(
+        q, k, v, config=config, scale=scale, causal=causal, interpret=interpret
+    )
+    return splitkv_combine(
+        o_part, lse, block_q=config.block_q, out_dtype=out_dtype,
+        interpret=interpret,
+    )

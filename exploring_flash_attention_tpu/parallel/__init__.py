@@ -1,0 +1,17 @@
+from exploring_flash_attention_tpu.parallel.mesh import make_mesh
+from exploring_flash_attention_tpu.parallel.partials import (
+    attention_partial_local,
+    merge_partials,
+)
+from exploring_flash_attention_tpu.parallel.ring import ring_attention
+from exploring_flash_attention_tpu.parallel.splitkv_xhost import (
+    splitkv_attention_xhost,
+)
+
+__all__ = [
+    "make_mesh",
+    "attention_partial_local",
+    "merge_partials",
+    "ring_attention",
+    "splitkv_attention_xhost",
+]

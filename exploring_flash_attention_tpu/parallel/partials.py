@@ -1,0 +1,73 @@
+"""Partial-attention primitives shared by every cross-chip strategy.
+
+The V2 workspace triple (normalized O, lse) is exactly what a chip exchanges
+in ring / cross-host split-KV attention (SURVEY §2.6: "the combine rule ...
+is applied either via a ring ... or via an all-gather of the partial
+triple").  This module provides:
+
+- :func:`attention_partial_local`: one chip's partial over its local KV
+  shard (the split-KV forward kernel with a single KV block);
+- :func:`merge_partials`: the associative pairwise LSE merge used to fold
+  streamed partials together (ring steps, tree combines).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from exploring_flash_attention_tpu.configs import SplitKVConfig, TileConfig, cdiv
+from exploring_flash_attention_tpu.ops.attention_v2_splitkv import (
+    flash_attention_splitkv_partial,
+)
+
+
+def attention_partial_local(
+    q: jax.Array,               # [B, H, Lq, d]
+    k: jax.Array,               # [B, H, Lkv_local, d]
+    v: jax.Array,
+    config: TileConfig = TileConfig(),
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Normalized partial attention over a local KV shard.
+
+    Returns (o_partial [B,H,Lq,d] f32, lse [B,H,Lq] f32)."""
+    lkv = k.shape[2]
+    block_kv = min(config.block_kv, max(lkv, 8))
+    cfg = SplitKVConfig(
+        block_q=config.block_q,
+        block_kv=block_kv,
+        d_tile_qk=config.d_tile_qk,
+        d_tile_v=config.d_tile_v,
+        kv_tiles_per_block=cdiv(lkv, block_kv),   # one block = whole shard
+    )
+    o_p, lse = flash_attention_splitkv_partial(
+        q, k, v, config=cfg, scale=scale, interpret=interpret
+    )
+    return o_p[:, :, 0], lse[:, :, 0]
+
+
+def merge_partials(
+    o_a: jax.Array, lse_a: jax.Array,     # [..., Lq, d], [..., Lq]
+    o_b: jax.Array, lse_b: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Associative merge of two normalized partials.
+
+    (o, lse) = merge(a, b) satisfies: attention over KV_a ∪ KV_b.  The
+    identity element is (0, -inf).  Same math as the combine kernel
+    (sim/splitkv.py:combine_partials) specialized to two operands and
+    returning the merged lse so merges chain."""
+    m = jnp.maximum(lse_a, lse_b)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    w_a = jnp.where(jnp.isneginf(lse_a), 0.0, jnp.exp(lse_a - m_safe))
+    w_b = jnp.where(jnp.isneginf(lse_b), 0.0, jnp.exp(lse_b - m_safe))
+    denom = w_a + w_b
+    denom_safe = jnp.where(denom == 0.0, 1.0, denom)
+    o = (o_a * (w_a / denom_safe)[..., None]
+         + o_b * (w_b / denom_safe)[..., None])
+    lse = m + jnp.log(denom_safe)
+    lse = jnp.where(denom == 0.0, -jnp.inf, lse)
+    return o, lse

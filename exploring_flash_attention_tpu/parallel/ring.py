@@ -1,0 +1,78 @@
+"""Ring attention over the sequence axis: KV tiles rotate around the ICI
+ring while every chip folds them into its running (O, lse) state.
+
+This is the reference's V2 split-KV math (partial + rescaled combine,
+SURVEY §5 long-context row) with "KV blocks" = chips and the workspace
+exchange = ``ppermute`` rotations: each chip holds one Q shard and one KV
+shard; after ``sp`` steps every Q shard has seen every KV shard.  The merge
+is the associative pairwise rule (parallel/partials.py:merge_partials), so
+no global workspace materializes — memory per chip stays O(L_local).
+
+This is the collective (XLA-scheduled) ring.  A hand-overlapped Pallas
+ring using ``make_async_remote_copy`` double-buffering is the planned
+speed-of-light variant (pallas_guide: Ring Collectives pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from exploring_flash_attention_tpu.configs import TileConfig
+from exploring_flash_attention_tpu.parallel.partials import (
+    attention_partial_local,
+    merge_partials,
+)
+
+
+def ring_attention(
+    q: jax.Array,               # [B, H, Lq, d]  sharded over sp on dim 2
+    k: jax.Array,               # [B, H, Lkv, d] sharded over sp on dim 2
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    config: TileConfig = TileConfig(),
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Non-causal ring attention; output sharded like q."""
+    n_ring = mesh.shape[axis_name]
+
+    def local_fn(q_l, k_l, v_l):
+        # step 0: local KV shard
+        o, lse = attention_partial_local(
+            q_l, k_l, v_l, config=config, scale=scale, interpret=interpret
+        )
+        if n_ring == 1:
+            return o.astype(q_l.dtype)
+
+        perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+        def body(carry, _):
+            o, lse, k_c, v_c = carry
+            # rotate KV shards one hop, fold the newly arrived shard in
+            k_c = jax.lax.ppermute(k_c, axis_name, perm)
+            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+            o_p, lse_p = attention_partial_local(
+                q_l, k_c, v_c, config=config, scale=scale, interpret=interpret
+            )
+            o, lse = merge_partials(o, lse, o_p, lse_p)
+            return (o, lse, k_c, v_c), None
+
+        (o, lse, _, _), _ = jax.lax.scan(
+            body, (o, lse, k_l, v_l), None, length=n_ring - 1
+        )
+        return o.astype(q_l.dtype)
+
+    spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)

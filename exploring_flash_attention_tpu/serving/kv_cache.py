@@ -1,0 +1,212 @@
+"""INT8 paged KV-cache.
+
+The serving-side generalization of the reference's KV streaming: instead of
+contiguous [B, H, L, d] K/V, tokens live in fixed-size pages indexed by a
+per-sequence page table, stored INT8 with per-token f32 scales (absmax over
+the d axis), so the decode kernel dequantizes on the fly by folding scales
+into score columns / probability columns (see ops/attention_kvquant.py for
+the folding math, serving/decode.py for the paged variant).
+
+Layout (head-major so one head's page is one contiguous DMA):
+    k_pages, v_pages : int8 [H_kv, n_pages, page_size, d]
+    k_scales, v_scales: f32 [H_kv, n_pages, 1, page_size]
+    page_table       : int32 [max_seqs, max_pages_per_seq]
+    seq_lens         : int32 [max_seqs]
+
+Page management (allocator, free list) is host-side Python — the analog of
+the reference drivers' host orchestration; all token writes are functional
+XLA scatters so the cache arrays stay on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exploring_flash_attention_tpu.configs import cdiv
+
+INT8_MAX = 127.0
+
+
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jax.Array          # int8 [Hkv, n_pages, page_size, d]
+    v_pages: jax.Array
+    k_scales: jax.Array         # f32  [Hkv, n_pages, 1, page_size]
+    v_scales: jax.Array
+    page_table: jax.Array       # int32 [max_seqs, max_pages]
+    seq_lens: jax.Array         # int32 [max_seqs]
+    page_size: int
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return self.page_table.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    PagedKVCache,
+    data_fields=["k_pages", "v_pages", "k_scales", "v_scales",
+                 "page_table", "seq_lens"],
+    meta_fields=["page_size"],
+)
+
+
+def make_cache(
+    num_kv_heads: int,
+    head_dim: int,
+    n_pages: int,
+    page_size: int = 128,
+    max_seqs: int = 64,
+    max_pages_per_seq: Optional[int] = None,
+) -> PagedKVCache:
+    if page_size % 128 != 0:
+        raise ValueError("page_size must be a multiple of 128 (lane width)")
+    max_pages_per_seq = max_pages_per_seq or n_pages
+    return PagedKVCache(
+        k_pages=jnp.zeros((num_kv_heads, n_pages, page_size, head_dim), jnp.int8),
+        v_pages=jnp.zeros((num_kv_heads, n_pages, page_size, head_dim), jnp.int8),
+        k_scales=jnp.zeros((num_kv_heads, n_pages, 1, page_size), jnp.float32),
+        v_scales=jnp.zeros((num_kv_heads, n_pages, 1, page_size), jnp.float32),
+        page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
+        seq_lens=jnp.zeros((max_seqs,), jnp.int32),
+        page_size=page_size,
+    )
+
+
+class PageAllocator:
+    """Host-side free-list page allocator."""
+
+    def __init__(self, n_pages: int):
+        self._free: List[int] = list(range(n_pages - 1, -1, -1))
+        self.n_pages = n_pages
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(f"out of KV pages: want {n}, have {len(self._free)}")
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: List[int]) -> None:
+        self._free.extend(pages)
+
+
+def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token (row over d) symmetric int8.  x: [..., d] f32/bf16."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / INT8_MAX
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]),
+        -INT8_MAX, INT8_MAX,
+    ).astype(jnp.int8)
+    return q, scale
+
+
+@jax.jit
+def append_tokens(
+    cache: PagedKVCache,
+    seq_ids: jax.Array,          # int32 [B] cache slots being written
+    k_new: jax.Array,            # [B, Hkv, d] new K rows (one token per seq)
+    v_new: jax.Array,
+) -> PagedKVCache:
+    """Functionally append one token per sequence (quantize + scatter).
+
+    Pages must already be mapped in the page table (the scheduler allocates
+    them); positions come from ``cache.seq_lens``."""
+    pos = cache.seq_lens[seq_ids]                      # [B]
+    page_idx_in_seq = pos // cache.page_size
+    offset = pos % cache.page_size
+    page_ids = cache.page_table[seq_ids, page_idx_in_seq]  # [B]
+
+    kq, ks = _quantize_rows(k_new)                     # [B,Hkv,d], [B,Hkv]
+    vq, vs = _quantize_rows(v_new)
+
+    # scatter: pages[h, page_ids[b], offset[b], :] = q[b, h, :]
+    k_pages = cache.k_pages.at[:, page_ids, offset, :].set(
+        kq.transpose(1, 0, 2), mode="drop"
+    )
+    v_pages = cache.v_pages.at[:, page_ids, offset, :].set(
+        vq.transpose(1, 0, 2), mode="drop"
+    )
+    k_scales = cache.k_scales.at[:, page_ids, 0, offset].set(
+        ks.transpose(1, 0), mode="drop"
+    )
+    v_scales = cache.v_scales.at[:, page_ids, 0, offset].set(
+        vs.transpose(1, 0), mode="drop"
+    )
+    seq_lens = cache.seq_lens.at[seq_ids].add(1, mode="drop")
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        k_scales=k_scales, v_scales=v_scales, seq_lens=seq_lens,
+    )
+
+
+def append_prompt(
+    cache: PagedKVCache,
+    seq_id: int,
+    k_prompt: jax.Array,         # [L, Hkv, d]
+    v_prompt: jax.Array,
+) -> PagedKVCache:
+    """Bulk-append a prompt's K/V (prefill path).  Host loop over pages;
+    each page written with one functional update."""
+    l = k_prompt.shape[0]
+    ps = cache.page_size
+    start = int(cache.seq_lens[seq_id])
+    if start % ps != 0:
+        raise ValueError("prompt append must start on a page boundary")
+    for p0 in range(0, l, ps):
+        chunk_k = k_prompt[p0:p0 + ps]
+        chunk_v = v_prompt[p0:p0 + ps]
+        n = chunk_k.shape[0]
+        page_id = int(cache.page_table[seq_id, (start + p0) // ps])
+        kq, ks = _quantize_rows(chunk_k)               # [n,Hkv,d],[n,Hkv]
+        vq, vs = _quantize_rows(chunk_v)
+        cache = dataclasses.replace(
+            cache,
+            k_pages=cache.k_pages.at[:, page_id, :n, :].set(
+                kq.transpose(1, 0, 2)),
+            v_pages=cache.v_pages.at[:, page_id, :n, :].set(
+                vq.transpose(1, 0, 2)),
+            k_scales=cache.k_scales.at[:, page_id, 0, :n].set(
+                ks.transpose(1, 0)),
+            v_scales=cache.v_scales.at[:, page_id, 0, :n].set(
+                vs.transpose(1, 0)),
+        )
+    cache = dataclasses.replace(
+        cache, seq_lens=cache.seq_lens.at[seq_id].set(start + l)
+    )
+    return cache
+
+
+def gather_kv(
+    cache: PagedKVCache, seq_id: int, dtype=jnp.float32
+) -> Tuple[jax.Array, jax.Array]:
+    """Dequantized contiguous [Hkv, L, d] K/V for one sequence — reference
+    path for tests (the fused kernels never materialize this)."""
+    l = int(cache.seq_lens[seq_id])
+    n_pages = cdiv(l, cache.page_size)
+    ids = np.asarray(cache.page_table[seq_id, :n_pages])
+    k = jnp.asarray(cache.k_pages)[:, ids]             # [H, np, ps, d]
+    v = jnp.asarray(cache.v_pages)[:, ids]
+    ks = jnp.asarray(cache.k_scales)[:, ids]           # [H, np, 1, ps]
+    vs = jnp.asarray(cache.v_scales)[:, ids]
+    k = k.astype(jnp.float32) * ks.transpose(0, 1, 3, 2)
+    v = v.astype(jnp.float32) * vs.transpose(0, 1, 3, 2)
+    h, npg, ps, d = k.shape
+    k = k.reshape(h, npg * ps, d)[:, :l]
+    v = v.reshape(h, npg * ps, d)[:, :l]
+    return k.astype(dtype), v.astype(dtype)
