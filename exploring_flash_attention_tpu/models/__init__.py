@@ -1,0 +1,15 @@
+from exploring_flash_attention_tpu.models.transformer import (
+    ModelConfig,
+    forward,
+    init_params,
+    loss_fn,
+    make_train_step,
+)
+
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "forward",
+    "loss_fn",
+    "make_train_step",
+]

@@ -1,0 +1,309 @@
+"""Flagship model: a decoder-only transformer LM built on the flash
+attention engine, with a Megatron-style manual-SPMD training step.
+
+The reference has no model stack (SURVEY: "no training loop, no model
+code"); this is the framework's demonstration vehicle: every attention call
+is the Pallas kernel (differentiable via ops/attention_vjp.py), and the
+training step shards over a (dp, tp, sp) mesh inside one ``shard_map``:
+
+- dp: batch sharding, gradient all-mean over dp (+ sp);
+- tp: heads (attention) and FFN columns Megatron-sharded, with the f/g
+  conjugate all-reduce operators (models/parallel_layers.py);
+- sp: sequence sharding of activations; attention gathers K/V over sp
+  (all-gather fwd / reduce-scatter bwd) and masks causally at each shard's
+  traced global offset — the differentiable flavor of the engine's
+  split-KV-across-chips design (parallel/).
+
+Architecture: pre-RMSNorm, GQA-capable attention, SwiGLU FFN, tied
+embeddings.  Pure-functional params pytree + optax optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from exploring_flash_attention_tpu.configs import TileConfig
+from exploring_flash_attention_tpu.models.parallel_layers import (
+    f_tp,
+    g_tp,
+    gather_seq,
+)
+from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 4096
+    n_layers: int = 2
+    n_heads: int = 8
+    n_kv_heads: int = 8
+    d_model: int = 512
+    d_head: int = 64
+    d_ff: int = 1024
+    dtype: Any = jnp.float32
+    tile: TileConfig = TileConfig(block_q=128, block_kv=128)
+    norm_eps: float = 1e-5
+
+    def __post_init__(self):
+        if self.n_heads % self.n_kv_heads:
+            raise ValueError("n_heads must be divisible by n_kv_heads")
+
+
+def init_params(config: ModelConfig, seed: int = 0) -> Params:
+    rng = np.random.default_rng(seed)
+    c = config
+
+    def dense(*shape):
+        std = 1.0 / np.sqrt(shape[0])
+        return jnp.asarray(
+            rng.normal(0.0, std, shape), dtype=c.dtype
+        )
+
+    layers = []
+    for _ in range(c.n_layers):
+        layers.append({
+            "ln1": jnp.ones((c.d_model,), c.dtype),
+            "wq": dense(c.d_model, c.n_heads, c.d_head),
+            "wk": dense(c.d_model, c.n_kv_heads, c.d_head),
+            "wv": dense(c.d_model, c.n_kv_heads, c.d_head),
+            "wo": dense(c.n_heads * c.d_head, c.d_model).reshape(
+                c.n_heads, c.d_head, c.d_model),
+            "ln2": jnp.ones((c.d_model,), c.dtype),
+            "w_gate": dense(c.d_model, c.d_ff),
+            "w_up": dense(c.d_model, c.d_ff),
+            "w_down": dense(c.d_ff, c.d_model),
+        })
+    return {
+        "embed": jnp.asarray(
+            rng.normal(0.0, 0.02, (c.vocab_size, c.d_model)), dtype=c.dtype
+        ),
+        "ln_f": jnp.ones((c.d_model,), c.dtype),
+        "layers": layers,
+    }
+
+
+def _rmsnorm(x, scale, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
+
+
+def _attn_block(
+    p, x, config: ModelConfig,
+    tp_axis: Optional[str], sp_axis: Optional[str],
+    interpret: Optional[bool],
+):
+    """x: [B, L_local, E] (E replicated over tp; L sharded over sp)."""
+    c = config
+    b, l_local, _ = x.shape
+    h = _rmsnorm(x, p["ln1"], c.norm_eps)
+    q = jnp.einsum("ble,ehd->bhld", h, p["wq"])        # heads local to tp
+    k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
+    v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
+
+    if sp_axis is not None:
+        # sequence parallel: keep Q local, gather K/V (fwd all-gather,
+        # bwd reduce-scatter), causal-mask at this shard's global offset
+        k = gather_seq(k, sp_axis, 2)
+        v = gather_seq(v, sp_axis, 2)
+        q_pos0 = jax.lax.axis_index(sp_axis) * l_local
+        positions = (q_pos0, jnp.int32(0))
+    else:
+        positions = None
+
+    # GQA: repeat KV heads to match Q heads for the kernel (shapes are
+    # local — under tp both head counts are already divided by tp)
+    rep = q.shape[1] // k.shape[1]
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    o = flash_attention(
+        q, k, v, config=c.tile, causal=True, interpret=interpret,
+        positions=positions,
+    )                                                   # [B, H, Ll, dh]
+    out = jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
+    if tp_axis is not None:
+        out = g_tp(out, tp_axis)                        # row-parallel reduce
+    return out
+
+
+def _mlp_block(p, x, config: ModelConfig, tp_axis: Optional[str]):
+    h = _rmsnorm(x, p["ln2"], config.norm_eps)
+    gate = jnp.einsum("ble,ef->blf", h, p["w_gate"])
+    up = jnp.einsum("ble,ef->blf", h, p["w_up"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    out = jnp.einsum("blf,fe->ble", act, p["w_down"])
+    if tp_axis is not None:
+        out = g_tp(out, tp_axis)
+    return out
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,            # [B, L_local] int32
+    config: ModelConfig,
+    tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Logits [B, L_local, V].  Callable single-device (axes=None) or
+    inside shard_map with tp/sp axis names."""
+    x = params["embed"][tokens].astype(config.dtype)
+    for p in params["layers"]:
+        branch_in = f_tp(x, tp_axis) if tp_axis else x
+        x = x + _attn_block(p, branch_in, config, tp_axis, sp_axis, interpret)
+        branch_in = f_tp(x, tp_axis) if tp_axis else x
+        x = x + _mlp_block(p, branch_in, config, tp_axis)
+    x = _rmsnorm(x, params["ln_f"], config.norm_eps)
+    return jnp.einsum(
+        "ble,ve->blv", x, params["embed"].astype(config.dtype)
+    ).astype(jnp.float32)
+
+
+def loss_fn(
+    params: Params,
+    inputs: jax.Array,            # [B, L_local]
+    targets: jax.Array,           # [B, L_local]
+    config: ModelConfig,
+    tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    logits = forward(params, inputs, config, tp_axis, sp_axis, interpret)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    return jnp.mean(ce)
+
+
+def make_train_step(
+    config: ModelConfig,
+    mesh: Optional[Mesh] = None,
+    learning_rate: float = 1e-3,
+    interpret: Optional[bool] = None,
+    optimizer=None,
+):
+    """Returns (train_step, optimizer_init).
+
+    With a mesh: the full step (fwd + bwd + optimizer) runs inside one
+    shard_map over (dp, tp, sp); tokens arrive [B, L+1] sharded over dp on
+    batch, and each sp shard consumes its L/sp slice.  Params are
+    tp-sharded on their head/FFN axes (see param_spec)."""
+    opt = optimizer if optimizer is not None else optax.adamw(learning_rate)
+
+    if mesh is None:
+        @jax.jit
+        def train_step(params, opt_state, tokens):
+            inputs, targets = tokens[:, :-1], tokens[:, 1:]
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, inputs, targets, config, None, None, interpret
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step, opt
+
+    dp, tp, sp = (mesh.shape[a] for a in ("dp", "tp", "sp"))
+
+    def local_step(params, opt_state, tokens):
+        # tokens: [B/dp, L+1] (replicated over tp, sp)
+        l_total = tokens.shape[1] - 1
+        l_local = l_total // sp
+        sp_idx = jax.lax.axis_index("sp")
+        start = sp_idx * l_local
+        inputs = jax.lax.dynamic_slice_in_dim(tokens, start, l_local, 1)
+        targets = jax.lax.dynamic_slice_in_dim(tokens, start + 1, l_local, 1)
+
+        def local_loss(params):
+            return loss_fn(
+                params, inputs, targets, config, "tp", "sp", interpret
+            )
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # data-axis gradient mean (dp and sp both shard the token stream)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, ("dp", "sp")), grads
+        )
+        loss = jax.lax.pmean(loss, ("dp", "sp"))
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    pspec = param_spec(config)
+    ospec = opt_state_spec(config, opt)
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspec, ospec, P("dp", None)),
+        out_specs=(pspec, ospec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded), opt
+
+
+def param_spec(config: ModelConfig) -> Params:
+    """PartitionSpecs: heads/FFN columns over tp, the rest replicated."""
+    layer = {
+        "ln1": P(), "ln2": P(),
+        "wq": P(None, "tp", None),
+        "wk": P(None, "tp", None),
+        "wv": P(None, "tp", None),
+        "wo": P("tp", None, None),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    return {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": [dict(layer) for _ in range(config.n_layers)],
+    }
+
+
+def opt_state_spec(config: ModelConfig, opt) -> Any:
+    """Optimizer state mirrors param sharding (mu/nu per-param)."""
+    pspec = param_spec(config)
+    params_shape = jax.eval_shape(lambda: init_params(config))
+    state_shape = jax.eval_shape(opt.init, params_shape)
+
+    def spec_for(path_leaf):
+        return path_leaf
+
+    def map_state(s):
+        # ScaleByAdamState has mu/nu pytrees shaped like params
+        return jax.tree.map(
+            lambda _: None, s
+        )
+
+    # build by structure: replace any leaf that matches a param position
+    def make(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=P(), mu=pspec, nu=pspec
+            )
+        if isinstance(s, optax.EmptyState):
+            return optax.EmptyState()
+        return s
+
+    return tuple(make(s) for s in state_shape)
+
+
+def shard_params(params: Params, mesh: Mesh, config: ModelConfig) -> Params:
+    spec = param_spec(config)
+    p_leaves, treedef = jax.tree.flatten(params)
+    s_leaves = jax.tree.flatten(spec, is_leaf=lambda s: isinstance(s, P))[0]
+    placed = [
+        jax.device_put(x, NamedSharding(mesh, s))
+        for x, s in zip(p_leaves, s_leaves)
+    ]
+    return jax.tree.unflatten(treedef, placed)

@@ -44,12 +44,7 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
 
 
 def _splitkv_fwd_kernel(
-    q_ref, k_ref, v_ref,          # (1, BQ, d), (1, SPAN, d), (1, SPAN, d)
-    o_part_ref, lse_ref,          # (1, 1, BQ, d) f32, (1, 1, 8, BQ) f32
-                                  # (lse carries a padded 8-sublane dim to
-                                  # satisfy the TPU (8, 128) tiling rule)
-    acc_ref, m_ref, l_ref,        # scratch
-    *,
+    *refs,
     scale: float,
     block_q: int,
     block_kv: int,
@@ -57,7 +52,27 @@ def _splitkv_fwd_kernel(
     seq_len_q: int,
     seq_len_kv: int,
     causal: bool,
+    has_offsets: bool,
 ):
+    # refs layout:
+    #   q_ref, k_ref, v_ref            (1, BQ, d), (1, SPAN, d), (1, SPAN, d)
+    #   [offs_ref]                     SMEM (1, 2) int32 — global positions of
+    #                                  (q row 0, kv row 0); present only when
+    #                                  has_offsets (ring / sequence-parallel
+    #                                  callers whose shards sit at traced
+    #                                  global offsets)
+    #   o_part_ref, lse_ref            (1, 1, BQ, d) f32, (1, 1, 8, BQ) f32
+    #                                  (lse carries a padded 8-sublane dim to
+    #                                  satisfy the TPU (8, 128) tiling rule)
+    #   acc_ref, m_ref, l_ref          scratch
+    if has_offsets:
+        q_ref, k_ref, v_ref, offs_ref, o_part_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        q_pos0 = offs_ref[0, 0]
+        kv_pos0 = offs_ref[0, 1]
+    else:
+        q_ref, k_ref, v_ref, o_part_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        q_pos0 = seq_len_kv - seq_len_q   # decode convention: q rows are the
+        kv_pos0 = 0                       # last seq_len_q positions
     kb = pl.program_id(2)
     q = q_ref[0]
     n_tiles = kv_span // block_kv
@@ -89,7 +104,7 @@ def _splitkv_fwd_kernel(
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
                 row = row + q_start
-                cmask = col <= row + (seq_len_kv - seq_len_q)
+                cmask = (col + kv_pos0) <= (row + q_pos0)
                 mask = cmask if mask is None else jnp.logical_and(mask, cmask)
             s = jnp.where(mask, s, NEG_INF)
 
@@ -155,8 +170,14 @@ def flash_attention_splitkv_partial(
     causal: bool = False,
     interpret: Optional[bool] = None,
     workspace_dtype=jnp.float32,
+    positions: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Phase 1: returns (o_partial [B,H,nkb,Lq,d], lse [B,H,nkb,Lq])."""
+    """Phase 1: returns (o_partial [B,H,nkb,Lq,d], lse [B,H,nkb,Lq]).
+
+    ``positions``: optional traced int32 scalars (q_pos0, kv_pos0) — the
+    global sequence positions of q row 0 and kv row 0, for causal masking
+    of ring / sequence-parallel shards.  Default assumes q rows are the
+    final Lq positions of the KV span (decode convention)."""
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     if scale is None:
@@ -173,6 +194,7 @@ def flash_attention_splitkv_partial(
     kf = k.reshape(n_bh, lkv, d)
     vf = v.reshape(n_bh, lkv, d)
 
+    has_offsets = positions is not None
     kernel = functools.partial(
         _splitkv_fwd_kernel,
         scale=scale,
@@ -182,15 +204,28 @@ def flash_attention_splitkv_partial(
         seq_len_q=lq,
         seq_len_kv=lkv,
         causal=causal,
+        has_offsets=has_offsets,
     )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
+        pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+        pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+    ]
+    inputs = [qf, kf, vf]
+    if has_offsets:
+        q_pos0, kv_pos0 = positions
+        offs = jnp.stack(
+            [jnp.asarray(q_pos0, jnp.int32), jnp.asarray(kv_pos0, jnp.int32)]
+        ).reshape(1, 2)
+        in_specs.append(
+            pl.BlockSpec((1, 2), lambda bh, qi, kb: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(offs)
     o_part, lse = pl.pallas_call(
         kernel,
         grid=(n_bh, n_q, n_kb),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
-            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
-            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, block_q, d), lambda bh, qi, kb: (bh, kb, qi, 0)
@@ -212,7 +247,7 @@ def flash_attention_splitkv_partial(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_resolve_interpret(interpret),
-    )(qf, kf, vf)
+    )(*inputs)
     return (
         o_part.reshape(b, h, n_kb, lq, d),
         lse[:, :, 0, :].reshape(b, h, n_kb, lq),

@@ -31,10 +31,13 @@ def attention_partial_local(
     config: TileConfig = TileConfig(),
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    causal: bool = False,
+    positions: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized partial attention over a local KV shard.
 
-    Returns (o_partial [B,H,Lq,d] f32, lse [B,H,Lq] f32)."""
+    Returns (o_partial [B,H,Lq,d] f32, lse [B,H,Lq] f32).  For causal
+    shards at traced global offsets, pass ``positions=(q_pos0, kv_pos0)``."""
     lkv = k.shape[2]
     block_kv = min(config.block_kv, max(lkv, 8))
     cfg = SplitKVConfig(
@@ -45,7 +48,8 @@ def attention_partial_local(
         kv_tiles_per_block=cdiv(lkv, block_kv),   # one block = whole shard
     )
     o_p, lse = flash_attention_splitkv_partial(
-        q, k, v, config=cfg, scale=scale, interpret=interpret
+        q, k, v, config=cfg, scale=scale, interpret=interpret,
+        causal=causal, positions=positions,
     )
     return o_p[:, :, 0], lse[:, :, 0]
 

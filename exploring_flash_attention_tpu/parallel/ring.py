@@ -36,34 +36,49 @@ def ring_attention(
     axis_name: str = "sp",
     config: TileConfig = TileConfig(),
     scale: Optional[float] = None,
+    causal: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Non-causal ring attention; output sharded like q."""
+    """Ring attention; output sharded like q.
+
+    Causal mode: every shard's global offset is threaded into the partial
+    kernel (positions=(q_pos0, kv_pos0)), so KV chunks entirely in a Q
+    shard's future contribute lse=-inf and drop out of the merge — the
+    simple (non-zigzag) causal ring."""
     n_ring = mesh.shape[axis_name]
 
     def local_fn(q_l, k_l, v_l):
+        lq_local = q_l.shape[2]
+        lkv_local = k_l.shape[2]
+        my = jax.lax.axis_index(axis_name)
+        q_pos0 = my * lq_local
+
+        def partial(k_c, v_c, src_idx):
+            return attention_partial_local(
+                q_l, k_c, v_c, config=config, scale=scale,
+                interpret=interpret, causal=causal,
+                positions=(q_pos0, src_idx * lkv_local) if causal else None,
+            )
+
         # step 0: local KV shard
-        o, lse = attention_partial_local(
-            q_l, k_l, v_l, config=config, scale=scale, interpret=interpret
-        )
+        o, lse = partial(k_l, v_l, my)
         if n_ring == 1:
             return o.astype(q_l.dtype)
 
         perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
-        def body(carry, _):
+        def body(carry, step):
             o, lse, k_c, v_c = carry
             # rotate KV shards one hop, fold the newly arrived shard in
             k_c = jax.lax.ppermute(k_c, axis_name, perm)
             v_c = jax.lax.ppermute(v_c, axis_name, perm)
-            o_p, lse_p = attention_partial_local(
-                q_l, k_c, v_c, config=config, scale=scale, interpret=interpret
-            )
+            src_idx = jax.lax.rem(my - step + n_ring, n_ring)
+            o_p, lse_p = partial(k_c, v_c, src_idx)
             o, lse = merge_partials(o, lse, o_p, lse_p)
             return (o, lse, k_c, v_c), None
 
         (o, lse, _, _), _ = jax.lax.scan(
-            body, (o, lse, k_l, v_l), None, length=n_ring - 1
+            body, (o, lse, k_l, v_l), jnp.arange(1, n_ring)
         )
         return o.astype(q_l.dtype)
 

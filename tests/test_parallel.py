@@ -105,3 +105,30 @@ def test_ring_with_dp_tp_axes():
     # matches the oracle.
     out = ring_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh, config=CFG)
     assert error_stats(np.asarray(out), naive_attention(q, k, v))["max_abs"] < 1e-5
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ring_attention_causal(sp):
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=sp))
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=5)
+    out = ring_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh,
+        config=CFG, causal=True,
+    )
+    ref = naive_attention(q, k, v, causal=True)
+    assert error_stats(np.asarray(out), ref)["max_abs"] < 1e-5
+
+
+def test_partial_positions_equivalence():
+    # explicit positions must reproduce the default decode-convention mask
+    from exploring_flash_attention_tpu.parallel import attention_partial_local
+
+    q, k, v = make_qkv(1, 1, 64, 32, dtype=np.float32, seq_len_kv=128, seed=6)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    o_a, lse_a = attention_partial_local(qj, kj, vj, config=CFG, causal=True)
+    o_b, lse_b = attention_partial_local(
+        qj, kj, vj, config=CFG, causal=True,
+        positions=(jnp.int32(64), jnp.int32(0)),
+    )
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_a), np.asarray(lse_b), atol=1e-6)
