@@ -10,8 +10,14 @@ from exploring_flash_attention_tpu.ops.attention_v2_splitkv import (
     flash_attention_v2,
     splitkv_combine,
 )
+from exploring_flash_attention_tpu.ops.attention_bwd import (
+    flash_attention_bwd,
+)
+from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
 
 __all__ = [
+    "flash_attention",
+    "flash_attention_bwd",
     "flash_attention_v1",
     "flash_attention_v1_dtiled",
     "flash_attention_v2",

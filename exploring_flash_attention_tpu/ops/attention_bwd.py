@@ -1,0 +1,362 @@
+"""Tiled Pallas backward kernels for flash attention (dQ and dK/dV).
+
+The reference repo has no backward pass (SURVEY §0: "no backward pass"), so
+this is a framework extension modeled on the standard flash-attention
+gradient, decomposed the TPU way as two kernels with opposite iteration
+orders (the pattern of JAX's production flash kernels — see
+pallas_guide/boom notes on separate dKV and dQ kernels):
+
+- ``dkv`` kernel: grid ``(B*H, n_kv, n_q)`` — each program owns one KV tile
+  and accumulates ``dK``/``dV`` over the sequential Q-tile axis in VMEM f32
+  scratch;
+- ``dq`` kernel: grid ``(B*H, n_q, n_kv)`` — each program owns one Q tile
+  and accumulates ``dQ`` over the sequential KV-tile axis.
+
+Both recompute the probability tile from (q, k, lse) — never materializing
+the [Lq, Lkv] score matrix in HBM:
+
+    p  = exp(s*scale - lse)          (lse = m + log l from the forward)
+    dV = p^T dO
+    dP = dO V^T
+    dS = p * (dP - delta) * scale,   delta = rowsum(dO * O)  (precomputed)
+    dQ = dS K ;  dK = dS^T Q
+
+Matmuls run on the MXU with f32 accumulation; p/dS are cast to the storage
+dtype for the MXU (same mixed-precision policy as the forward kernels).
+Causal masking supports traced global shard offsets (positions), which is
+what sequence-parallel training needs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exploring_flash_attention_tpu.configs import TileConfig, cdiv
+from exploring_flash_attention_tpu.ops.attention_v1 import (
+    NEG_INF,
+    _resolve_interpret,
+    dot_precision,
+)
+
+LOG2E = math.log2(math.e)
+
+
+def _recompute_p(
+    q, k, lse_row,               # (BQ, d), (BK, d), (BQ, 1) f32
+    *,
+    scale: float,
+    causal: bool,
+    q_start, kv_start,           # LOCAL element offsets of tile row/col 0
+    q_pos0, kv_pos0,             # global positions of shard row/col 0
+    block_q: int,
+    block_kv: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    needs_q_mask: bool,
+    needs_kv_mask: bool,
+):
+    """Probability tile p = exp(s*scale - lse) recomputed from residuals."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(q, k),
+    )
+    mask = None
+    if needs_kv_mask or needs_q_mask or causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        col = col + kv_start
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        if needs_kv_mask:
+            # ragged masks are in LOCAL coordinates
+            mask = col < seq_len_kv
+        if needs_q_mask:
+            # pad Q rows must not pollute the dK/dV accumulation
+            qmask = (row + q_start) < seq_len_q
+            mask = qmask if mask is None else jnp.logical_and(mask, qmask)
+        if causal:
+            cmask = (col + kv_pos0) <= (row + q_start + q_pos0)
+            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+    # p = exp2(s * (scale*log2e) - lse*log2e); guard fully-masked rows
+    # (lse == -inf would otherwise make the argument +inf -> p = inf)
+    arg = s * (scale * LOG2E) - lse_row * LOG2E
+    if mask is not None:
+        arg = jnp.where(mask, arg, NEG_INF)
+    arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
+    p = jnp.exp2(arg)
+    return p, mask
+
+
+def _zero_pad_rows(x, limit: int, block: int, start):
+    """Zero rows past ``limit``: padded block rows hold undefined values
+    (NaN under interpret) and 0*NaN would poison the MXU accumulations."""
+    if limit % block == 0:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + start
+    return jnp.where(row < limit, x, jnp.zeros_like(x))
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref,   # (1,BQ,d), (1,BK,d), (1,BK,d), (1,BQ,d)
+    lse_ref, delta_ref,            # (1, 8, BQ) f32 each (8-sublane padded)
+    offs_ref,                      # SMEM (1, 2) int32: (q_pos0, kv_pos0)
+    dk_ref, dv_ref,                # out blocks (1, BK, d)
+    dk_acc, dv_acc,                # scratch (BK, d) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    out_dtype,
+):
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_start = qi * block_q
+    kv_start = pl.program_id(1) * block_kv
+    q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
+    k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
+    v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
+    do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
+    lse_row = lse_ref[0, 0, :][:, None]            # (BQ, 1)
+    delta_row = delta_ref[0, 0, :][:, None]        # (BQ, 1)
+
+    p, mask = _recompute_p(
+        q, k, lse_row, scale=scale, causal=causal,
+        q_start=q_start,
+        kv_start=kv_start,
+        q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+        block_q=block_q, block_kv=block_kv,
+        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+        needs_q_mask=seq_len_q % block_q != 0,
+        needs_kv_mask=seq_len_kv % block_kv != 0,
+    )                                              # (BQ, BK) f32
+
+    p_lp = p.astype(q.dtype)
+    # dV += P^T dO
+    dv_acc[...] += jax.lax.dot_general(
+        p_lp, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=dot_precision(do),
+    )
+    # dP = dO V^T
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(do, v),
+    )
+    # mask ds: pad lse/delta rows are garbage (possibly NaN), and masked
+    # p entries are exact zeros that 0*NaN would otherwise resurrect
+    ds = p * (dp - delta_row) * scale
+    ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
+    if mask is not None:
+        ds = jnp.where(mask, ds, 0.0)
+    ds = ds.astype(q.dtype)
+    # dK += dS^T Q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(q),
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(out_dtype)
+        dv_ref[0] = dv_acc[...].astype(out_dtype)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref,
+    offs_ref,
+    dq_ref,                        # out block (1, BQ, d)
+    dq_acc,                        # scratch (BQ, d) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    out_dtype,
+):
+    ki = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q_start = pl.program_id(1) * block_q
+    kv_start = ki * block_kv
+    q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
+    k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
+    v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
+    do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
+    lse_row = lse_ref[0, 0, :][:, None]
+    delta_row = delta_ref[0, 0, :][:, None]
+    p, mask = _recompute_p(
+        q, k, lse_row, scale=scale, causal=causal,
+        q_start=q_start,
+        kv_start=kv_start,
+        q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+        block_q=block_q, block_kv=block_kv,
+        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+        needs_q_mask=seq_len_q % block_q != 0,
+        needs_kv_mask=seq_len_kv % block_kv != 0,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(do, v),
+    )
+    ds = p * (dp - delta_row) * scale
+    ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
+    if mask is not None:
+        ds = jnp.where(mask, ds, 0.0)
+    ds = ds.astype(q.dtype)
+    dq_acc[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(k),
+    )
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[...].astype(out_dtype)
+
+
+def _pad_stats(x: jax.Array, n_bh: int, l: int) -> jax.Array:
+    """[B,H,L] f32 -> (n_bh, 8, L) with the stats broadcast over a padded
+    8-sublane dim (TPU (8, 128) tiling rule for 2D blocks)."""
+    xf = x.reshape(n_bh, 1, l).astype(jnp.float32)
+    return jnp.broadcast_to(xf, (n_bh, 8, l))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "causal", "scale", "interpret"),
+)
+def flash_attention_bwd(
+    q: jax.Array,                  # [B, H, Lq, d]
+    k: jax.Array,                  # [B, H, Lkv, d]
+    v: jax.Array,
+    out: jax.Array,                # forward output [B, H, Lq, d]
+    do: jax.Array,                 # output cotangent, same shape
+    lse: jax.Array,                # [B, H, Lq] f32 (includes scale)
+    config: TileConfig = TileConfig(),
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    positions: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Tiled flash-attention backward: returns (dq, dk, dv)."""
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_q = min(config.block_q, max(lq, 8))
+    block_kv = min(config.block_kv, max(lkv, 8))
+    n_bh = b * h
+    n_q = cdiv(lq, block_q)
+    n_kv = cdiv(lkv, block_kv)
+    interp = _resolve_interpret(interpret)
+
+    if positions is None:
+        q_pos0 = jnp.int32(lkv - lq)
+        kv_pos0 = jnp.int32(0)
+    else:
+        q_pos0, kv_pos0 = (jnp.asarray(p, jnp.int32) for p in positions)
+    offs = jnp.stack([q_pos0, kv_pos0]).reshape(1, 2)
+
+    qf = q.reshape(n_bh, lq, d)
+    kf = k.reshape(n_bh, lkv, d)
+    vf = v.reshape(n_bh, lkv, d)
+    dof = do.reshape(n_bh, lq, d).astype(q.dtype)
+    lsef = _pad_stats(lse, n_bh, lq)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )                                              # [B, H, Lq]
+    deltaf = _pad_stats(delta, n_bh, lq)
+
+    stats_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, i, j: (bh, 0, i))
+    offs_spec = pl.BlockSpec(
+        (1, 2), lambda bh, i, j: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # ---- dK / dV ----
+    dkv_kernel = functools.partial(
+        _dkv_kernel,
+        scale=scale, block_q=block_q, block_kv=block_kv,
+        seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=k.dtype,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(n_bh, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 2), lambda bh, ki, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
+            jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(qf, kf, vf, dof, lsef, deltaf, offs)
+
+    # ---- dQ ----
+    dq_kernel = functools.partial(
+        _dq_kernel,
+        scale=scale, block_q=block_q, block_kv=block_kv,
+        seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=q.dtype,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(n_bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            stats_spec_q,
+            stats_spec_q,
+            offs_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(qf, kf, vf, dof, lsef, deltaf, offs)
+
+    return (
+        dq.reshape(b, h, lq, d),
+        dk.reshape(b, h, lkv, d),
+        dv.reshape(b, h, lkv, d),
+    )

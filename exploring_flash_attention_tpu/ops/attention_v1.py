@@ -45,12 +45,32 @@ NEG_INF = float("-inf")
 # m/l statistics are stored broadcast across a full 128-lane vector so the
 # scratch keeps the native (sublane, lane) tiling.
 STATS_LANES = 128
+LOG2E = math.log2(math.e)
+
+# One-pass fast path: largest L_kv whose full K/V (plus the f32 score strip)
+# comfortably fits VMEM at d=128.  Above this the online-softmax streaming
+# kernel takes over.
+ONEPASS_MAX_KV = 4096
+# Rows of scores processed per inner step — small enough that the Mosaic
+# scheduler can overlap one chunk's VPU softmax with the next chunk's MXU
+# matmul (measured optimum on v5e; see scripts/proto_onepass*.py sweeps).
+ONEPASS_Q_CHUNK = 256
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
     if interpret is not None:
         return interpret
     return jax.default_backend() != "tpu"
+
+def dot_precision(*operands):
+    """MXU precision knob: Pallas/Mosaic lowers f32 matmuls to single-pass
+    bf16 by default, silently quantizing f32 operands.  Request HIGHEST
+    (multi-pass bf16x emulation) when any operand is genuinely f32 so the
+    f32 kernels referee at f32 accuracy; bf16/int8 paths are unaffected."""
+    for x in operands:
+        if x.dtype == jnp.float32:
+            return jax.lax.Precision.HIGHEST
+    return None
 
 
 def _v1_kernel(
@@ -79,7 +99,8 @@ def _v1_kernel(
     # S = Q K^T * scale on the MXU, f32 accumulate (reference
     # mat_mul_scaled_basic, flash_attention_v1.h:51-66).
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(q, k),
     )
     s *= scale
 
@@ -124,7 +145,7 @@ def _v1_kernel(
     # half exp_S path, flash_attention_v1.h:148-156).
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=dot_precision(v),
     )
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
@@ -135,6 +156,99 @@ def _v1_kernel(
         l = l_ref[:, :1]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+def _v1_onepass_kernel(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, Lkv, d) x2
+    o_ref,                      # VMEM block:  (1, BQ, d)
+    *,
+    scale: float,
+    q_chunk: int,
+    seq_len_kv: int,
+):
+    """Single-pass softmax for VMEM-resident KV (the fused V1 kernel when
+    the whole KV sequence is one tile).
+
+    The softmax-scale multiply is folded into one fused multiply-subtract on
+    the score strip (p = exp2(s*c - m*c), c = scale*log2(e)); scores are
+    processed in ``q_chunk``-row strips so the MXU matmul of strip t+1 can
+    overlap the VPU softmax of strip t.  5.9x the reference's best-published
+    per-shape speed came from exactly this structure (scripts/proto_* sweeps:
+    online-softmax streaming at this shape tops out at ~59% of roofline, the
+    strip-mined one-pass reaches ~75%+)."""
+    block_q = q_ref.shape[1]
+    lkv_blk = k_ref.shape[1]
+    c = scale * LOG2E
+    k = k_ref[0]
+    v = v_ref[0]
+    needs_kv_mask = seq_len_kv % lkv_blk != 0
+    if needs_kv_mask:
+        # zero padded V rows: 0 * NaN would poison the P@V matmul
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
+        v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        q = q_ref[0, q0:q0 + rows, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
+        )
+        if needs_kv_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, lkv_blk), 1)
+            s = jnp.where(col < seq_len_kv, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True) * c
+        p = jnp.exp2(s * c - m)
+        if needs_kv_mask:
+            p = jnp.where(jnp.isneginf(s), 0.0, p)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(v),
+        )
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+
+
+def _flash_attention_v1_onepass(
+    qf, kf, vf,                  # [n_bh, L, d]
+    scale: float,
+    out_dtype,
+    interpret: bool,
+):
+    n_bh, lq, d = qf.shape
+    lkv = kf.shape[1]
+    block_q = min(1024, lq) if lq % 1024 == 0 or lq <= 1024 else 512
+    block_q = min(block_q, max(lq, 8))
+    n_q = cdiv(lq, block_q)
+    kernel = functools.partial(
+        _v1_onepass_kernel,
+        scale=scale,
+        q_chunk=min(ONEPASS_Q_CHUNK, block_q),
+        seq_len_kv=lkv,
+    )
+    flops = 4 * n_bh * lq * lkv * d
+    return pl.pallas_call(
+        kernel,
+        grid=(n_bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize
+            + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
+            transcendentals=n_bh * lq * lkv,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
 
 
 @functools.partial(
@@ -169,6 +283,20 @@ def flash_attention_v1(
     qf = q.reshape(n_bh, lq, d)
     kf = k.reshape(n_bh, lkv, d)
     vf = v.reshape(n_bh, lkv, d)
+
+    # Fast path: whole-KV-resident one-pass softmax (no online state, no
+    # accumulator read-modify-write) whenever KV fits VMEM and the kernel
+    # doesn't need the FLOP-halving causal tile skip.  Taken when the caller
+    # asked for whole-KV tiles (block_kv >= L_kv — one-pass is then strictly
+    # better than a single online step) or left the config at its default
+    # (auto-tuning: measured ~1.3x over the streaming kernel, see
+    # scripts/proto_onepass*.py).
+    wants_onepass = config.block_kv >= lkv or config == TileConfig()
+    if not causal and lkv <= ONEPASS_MAX_KV and wants_onepass:
+        out = _flash_attention_v1_onepass(
+            qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret)
+        )
+        return out.reshape(b, h, lq, d)
 
     kernel = functools.partial(
         _v1_kernel,

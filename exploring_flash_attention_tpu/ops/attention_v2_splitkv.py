@@ -40,6 +40,7 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
     NEG_INF,
     STATS_LANES,
     _resolve_interpret,
+    dot_precision,
 )
 
 
@@ -93,6 +94,7 @@ def _splitkv_fwd_kernel(
         s = jax.lax.dot_general(
             q, k_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k_t),
         )
         s *= scale
         if needs_kv_mask or causal:
@@ -124,7 +126,7 @@ def _splitkv_fwd_kernel(
             v_t = jnp.where(vrow < seq_len_kv, v_t, jnp.zeros_like(v_t))
         pv = jax.lax.dot_general(
             p.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=dot_precision(v_t),
         )
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
         return ()
@@ -185,7 +187,9 @@ def flash_attention_splitkv_partial(
 
     block_q = min(config.block_q, max(lq, 8))
     block_kv = min(config.block_kv, max(lkv, 8))
-    kv_span = min(config.kv_tiles_per_block * block_kv, max(lkv, block_kv))
+    # span must stay a multiple of block_kv or the in-kernel tile loop
+    # (kv_span // block_kv iterations) would drop the ragged tail tile
+    kv_span = min(config.kv_tiles_per_block, cdiv(lkv, block_kv)) * block_kv
     n_bh = b * h
     n_q = cdiv(lq, block_q)
     n_kb = cdiv(lkv, kv_span)

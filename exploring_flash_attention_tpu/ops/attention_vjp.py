@@ -29,9 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from exploring_flash_attention_tpu.configs import TileConfig
-from exploring_flash_attention_tpu.parallel.partials import (
-    attention_partial_local,
-)
 
 
 def flash_attention(
@@ -67,6 +64,11 @@ def _flash_attention(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret)
 
 
 def _fwd(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret):
+    # local import: parallel.partials itself imports from ops (avoid cycle)
+    from exploring_flash_attention_tpu.parallel.partials import (
+        attention_partial_local,
+    )
+
     o, lse = attention_partial_local(
         q, k, v, config=config, scale=scale, causal=causal,
         interpret=interpret,
@@ -77,39 +79,18 @@ def _fwd(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret):
 
 
 def _bwd(config, scale, causal, interpret, res, g):
-    q, k, v, q_pos0, kv_pos0, out, lse = res
-    d = q.shape[-1]
-    sc = scale if scale is not None else 1.0 / math.sqrt(d)
-    lq, lkv = q.shape[2], k.shape[2]
-
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    of = out.astype(jnp.float32)
-
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * sc
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lkv), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (lq, lkv), 1)
-        s = jnp.where((col + kv_pos0) <= (row + q_pos0), s, -jnp.inf)
-    p = jnp.exp(s - lse[..., None])
-    if causal:
-        p = jnp.where(jnp.isneginf(s), 0.0, p)
-    # fully-masked rows have lse == -inf -> p = exp(-inf - -inf); kill nans
-    p = jnp.where(jnp.isnan(p), 0.0, p)
-
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
-    delta = jnp.sum(gf * of, axis=-1, keepdims=True)   # [B,H,Lq,1]
-    ds = p * (dp - delta) * sc
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
-    zero = np.zeros((), dtype=jax.dtypes.float0)       # int cotangents
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-        zero, zero,
+    from exploring_flash_attention_tpu.ops.attention_bwd import (
+        flash_attention_bwd,
     )
+
+    q, k, v, q_pos0, kv_pos0, out, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, g, lse,
+        config=config, scale=scale, causal=causal, interpret=interpret,
+        positions=(q_pos0, kv_pos0),
+    )
+    zero = np.zeros((), dtype=jax.dtypes.float0)       # int cotangents
+    return dq, dk, dv, zero, zero
 
 
 _flash_attention.defvjp(_fwd, _bwd)
