@@ -1,0 +1,329 @@
+#!/usr/bin/env python
+"""Full on-chip benchmark suite — one JSON line per component.
+
+The role of the reference's three driver.cu binaries (self-validating
+benchmark executables, SURVEY §2.2-2.4) widened to this framework's full
+surface: forward kernel tiers (one-pass, streaming, d-tiled, split-KV),
+quantized KV, paged INT8 decode (tokens/s), differentiable fwd+bwd, and
+long-context streaming.  Every entry is accuracy-gated against the f64
+oracle before its timing is reported.
+
+Usage:  python bench/suite.py [name ...]     (default: all)
+Writes bench/results.json with the collected entries.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = []
+
+
+def emit(metric, value, unit, vs_baseline=None, note=""):
+    row = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs_baseline is not None:
+        row["vs_baseline"] = round(vs_baseline, 2)
+    print(json.dumps(row) + (f"  # {note}" if note else ""))
+    RESULTS.append(row)
+
+
+def gate(out, ref, tol, name):
+    err = float(np.max(np.abs(out - ref)))
+    if err > tol:
+        raise AssertionError(f"{name}: accuracy gate {err:.2e} > {tol:.0e}")
+    return err
+
+
+def _qkv_bf16(b, h, l, d, seed, lkv=None):
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.oracle.reference import make_qkv
+
+    q, k, v = make_qkv(b, h, l, d, dtype=np.float32, seed=seed,
+                       seq_len_kv=lkv)
+    return tuple(jnp.asarray(x).astype(jnp.bfloat16) for x in (q, k, v))
+
+
+# ----------------------------------------------------------------- entries
+
+def bench_fwd_d128():
+    """Canonical B32xH8xL1024xd128 forward (one-pass path).  Reference best:
+    39 ms (d-tiled WMMA on sm_80, BASELINE.md)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, roofline_attention_tflops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    q, k, v = _qkv_bf16(2, 4, 512, d, seed=0)
+    cfg = TileConfig(block_q=1024, block_kv=1024)
+    out = np.asarray(flash_attention_v1(
+        q, k, v, config=TileConfig(block_q=512, block_kv=512),
+        out_dtype=jnp.float32))
+    ref = naive_attention(*(np.asarray(x.astype(jnp.float32)) for x in (q, k, v)))
+    err = gate(out, ref, 1e-3, "fwd_d128")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    sec = time_fn_chained(lambda x: flash_attention_v1(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    roof = roofline_attention_tflops(b, h, l, d)
+    emit("fwd_v1_d128_tflops", tf, "TFLOP/s", 39.0 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms, {100*tf/roof:.1f}% roofline, gate {err:.1e}")
+
+
+def bench_fwd_d32():
+    """Reference's V1 headline shape B32xH8xL1024xd32.  Reference best:
+    3.39 ms (V1 WMMA opt1, BASELINE.md)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 32
+    q, k, v = _qkv_bf16(2, 4, 512, d, seed=0)
+    out = np.asarray(flash_attention_v1(q, k, v, out_dtype=jnp.float32))
+    ref = naive_attention(*(np.asarray(x.astype(jnp.float32)) for x in (q, k, v)))
+    err = gate(out, ref, 1e-3, "fwd_d32")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=1024, block_kv=1024)
+    sec = time_fn_chained(lambda x: flash_attention_v1(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_v1_d32_tflops", tf, "TFLOP/s", 3.39 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms, gate {err:.1e}")
+
+
+def bench_fwd_streaming():
+    """Online-softmax streaming kernel at the canonical shape (the ladder
+    rung below one-pass; used for KV too large for VMEM)."""
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=512, block_kv=512)   # block_kv < L -> streaming
+    sec = time_fn_chained(lambda x: flash_attention_v1(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_v1_streaming_tflops", tf, "TFLOP/s", 39.0 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms")
+
+
+def bench_dtiled_d512():
+    """d-tiled kernel at d=512 (the tier the reference builds d-tiling for:
+    large head dims that blow the on-chip budget, tiled_d/README.md)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1_dtiled
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 4, 8, 1024, 512
+    cfg = TileConfig(block_q=256, block_kv=256, d_tile_qk=128, d_tile_v=128)
+    q, k, v = _qkv_bf16(1, 2, 512, d, seed=0)
+    out = np.asarray(flash_attention_v1_dtiled(
+        q, k, v, config=cfg, out_dtype=jnp.float32))
+    ref = naive_attention(*(np.asarray(x.astype(jnp.float32)) for x in (q, k, v)))
+    err = gate(out, ref, 2e-3, "dtiled_d512")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1_dtiled(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_dtiled_d512_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms, gate {err:.1e}")
+
+
+def bench_splitkv():
+    """Split-KV V2 pair at the reference's V2 shape (d=128).  Reference
+    best: ~39ms-equivalent (V2 WMMA ~135x over 7.1s CPU => ~53 ms)."""
+    from exploring_flash_attention_tpu.configs import SplitKVConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v2
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = SplitKVConfig(block_q=512, block_kv=512, kv_tiles_per_block=1)
+    sec = time_fn_chained(lambda x: flash_attention_v2(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_v2_splitkv_tflops", tf, "TFLOP/s", 52.8 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms (2 kv blocks + combine)")
+
+
+def bench_kvquant_int8():
+    """INT8-KV fused-dequant kernel at the canonical shape."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_kvquant
+    from exploring_flash_attention_tpu.ops.quant import dequantize, quantize_int8
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    q, k, v = _qkv_bf16(2, 4, 512, d, seed=0)
+    kq, vq = quantize_int8(k, block=512), quantize_int8(v, block=512)
+    out = np.asarray(flash_attention_kvquant(
+        q, kq, vq, config=TileConfig(block_q=512, block_kv=512),
+        out_dtype=jnp.float32))
+    ref = naive_attention(
+        np.asarray(q.astype(jnp.float32)),
+        np.asarray(dequantize(kq)), np.asarray(dequantize(vq)))
+    err = gate(out, ref, 1e-3, "kvquant_int8")   # vs dequantized KV
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    kq, vq = quantize_int8(kb, block=512), quantize_int8(vb, block=512)
+    cfg = TileConfig(block_q=512, block_kv=512)
+    sec = time_fn_chained(
+        lambda x: flash_attention_kvquant(x, kq, vq, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_kvquant_int8_tflops", tf, "TFLOP/s", 39.0 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms, gate {err:.1e} (vs dequantized oracle)")
+
+
+def bench_decode_tokens():
+    """Paged INT8-cache decode throughput: 32 concurrent sequences, 2048
+    cached tokens each, one generated token per step."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_decode_attention,
+    )
+    from exploring_flash_attention_tpu.serving.kv_cache import (
+        PageAllocator, append_prompt, make_cache,
+    )
+
+    bsz, hq, hkv, d = 32, 8, 8, 128
+    ctx, page_size = 2048, 256
+    pages_per_seq = ctx // page_size
+    cache = make_cache(hkv, d, n_pages=bsz * pages_per_seq,
+                       page_size=page_size, max_seqs=bsz,
+                       max_pages_per_seq=pages_per_seq)
+    alloc = PageAllocator(bsz * pages_per_seq)
+    rng = np.random.default_rng(0)
+    import dataclasses
+    for s in range(bsz):
+        pages = alloc.alloc(pages_per_seq)
+        pt = cache.page_table.at[s, :pages_per_seq].set(
+            jnp.asarray(pages, jnp.int32))
+        cache = dataclasses.replace(cache, page_table=pt)
+        kp = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+        cache = append_prompt(cache, s, kp, vp)
+
+    slots = jnp.arange(bsz, dtype=jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((bsz, hq, d)), jnp.bfloat16)
+
+    def step(x):
+        return paged_decode_attention(x, cache, slots)
+
+    from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
+    sec = time_fn_chained(step, q0, n_long=32, n_short=8)
+    emit("decode_tokens_per_sec", bsz / sec, "tokens/s", None,
+         f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages")
+
+
+def bench_train_fwd_bwd():
+    """Differentiable attention fwd+bwd at the canonical shape (7 tile
+    matmuls in the backward + 2 forward => 4.5x forward FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=512, block_kv=512)
+
+    def step(x):
+        dq, dk, dv = jax.grad(
+            lambda q, k, v: jnp.sum(
+                flash_attention(q, k, v, config=cfg, causal=True)
+            ),
+            argnums=(0, 1, 2),
+        )(x, kb, vb)
+        return ((dq + dk + dv) / 3).astype(x.dtype)
+
+    sec = time_fn_chained(step, qb, n_long=12, n_short=3)
+    flops = 4.5 * attention_flops(b, h, l, l, d, causal=True)
+    emit("train_fwd_bwd_tflops", flops / sec / 1e12, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms causal fwd+bwd")
+
+
+def bench_long_context():
+    """Streaming kernel at L=32768 on one chip (long-context single-chip
+    tier; the multi-chip ring extends this to 128K+ per BASELINE)."""
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 1, 8, 32768, 128
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=1024, block_kv=2048)
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1(x, kb, vb, config=cfg, causal=True),
+        qb, n_long=6, n_short=2)
+    tf = attention_flops(b, h, l, l, d, causal=True) / sec / 1e12
+    emit("fwd_long_context_32k_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms causal L=32K")
+
+
+ALL = {
+    "fwd_d128": bench_fwd_d128,
+    "fwd_d32": bench_fwd_d32,
+    "fwd_streaming": bench_fwd_streaming,
+    "dtiled_d512": bench_dtiled_d512,
+    "splitkv": bench_splitkv,
+    "kvquant_int8": bench_kvquant_int8,
+    "decode_tokens": bench_decode_tokens,
+    "train_fwd_bwd": bench_train_fwd_bwd,
+    "long_context": bench_long_context,
+}
+
+
+def main(argv):
+    names = argv or list(ALL)
+    t0 = time.time()
+    failed = []
+    for name in names:
+        try:
+            ALL[name]()
+        except Exception as e:  # noqa: BLE001 — suite keeps going
+            failed.append(name)
+            print(json.dumps({
+                "metric": f"{name}_FAILED", "value": 0,
+                "unit": f"{type(e).__name__}: {str(e)[:120]}",
+            }))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(f"# suite done in {time.time()-t0:.0f}s -> {out}"
+          + (f"; FAILED: {failed}" if failed else ""), file=sys.stderr)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -126,47 +126,58 @@ def _dkv_kernel(
 
     q_start = qi * block_q
     kv_start = pl.program_id(1) * block_kv
-    q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
-    k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
-    v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
-    do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
-    lse_row = lse_ref[0, 0, :][:, None]            # (BQ, 1)
-    delta_row = delta_ref[0, 0, :][:, None]        # (BQ, 1)
+    # causal tile-skip: (q tile, kv tile) pairs strictly above the diagonal
+    # contribute nothing to dK/dV — skip all four matmuls
+    if causal:
+        visible = (kv_start + offs_ref[0, 1]
+                   <= q_start + block_q - 1 + offs_ref[0, 0])
+    else:
+        visible = True
 
-    p, mask = _recompute_p(
-        q, k, lse_row, scale=scale, causal=causal,
-        q_start=q_start,
-        kv_start=kv_start,
-        q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
-        block_q=block_q, block_kv=block_kv,
-        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
-        needs_q_mask=seq_len_q % block_q != 0,
-        needs_kv_mask=seq_len_kv % block_kv != 0,
-    )                                              # (BQ, BK) f32
+    @pl.when(visible)
+    def _visible_tile():
+        q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
+        k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
+        v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
+        do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
+        lse_row = lse_ref[0, 0, :][:, None]            # (BQ, 1)
+        delta_row = delta_ref[0, 0, :][:, None]        # (BQ, 1)
 
-    p_lp = p.astype(q.dtype)
-    # dV += P^T dO
-    dv_acc[...] += jax.lax.dot_general(
-        p_lp, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=dot_precision(do),
-    )
-    # dP = dO V^T
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=dot_precision(do, v),
-    )
-    # mask ds: pad lse/delta rows are garbage (possibly NaN), and masked
-    # p entries are exact zeros that 0*NaN would otherwise resurrect
-    ds = p * (dp - delta_row) * scale
-    ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
-    if mask is not None:
-        ds = jnp.where(mask, ds, 0.0)
-    ds = ds.astype(q.dtype)
-    # dK += dS^T Q
-    dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=dot_precision(q),
-    )
+        p, mask = _recompute_p(
+            q, k, lse_row, scale=scale, causal=causal,
+            q_start=q_start,
+            kv_start=kv_start,
+            q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+            block_q=block_q, block_kv=block_kv,
+            seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+            needs_q_mask=seq_len_q % block_q != 0,
+            needs_kv_mask=seq_len_kv % block_kv != 0,
+        )                                              # (BQ, BK) f32
+
+        p_lp = p.astype(q.dtype)
+        # dV += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            p_lp, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(do),
+        )
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do, v),
+        )
+        # mask ds: pad lse/delta rows are garbage (possibly NaN), and masked
+        # p entries are exact zeros that 0*NaN would otherwise resurrect
+        ds = p * (dp - delta_row) * scale
+        ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
+        if mask is not None:
+            ds = jnp.where(mask, ds, 0.0)
+        ds = ds.astype(q.dtype)
+        # dK += dS^T Q
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(q),
+        )
 
     @pl.when(qi == n_q - 1)
     def _finalize():
@@ -198,35 +209,44 @@ def _dq_kernel(
 
     q_start = pl.program_id(1) * block_q
     kv_start = ki * block_kv
-    q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
-    k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
-    v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
-    do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
-    lse_row = lse_ref[0, 0, :][:, None]
-    delta_row = delta_ref[0, 0, :][:, None]
-    p, mask = _recompute_p(
-        q, k, lse_row, scale=scale, causal=causal,
-        q_start=q_start,
-        kv_start=kv_start,
-        q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
-        block_q=block_q, block_kv=block_kv,
-        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
-        needs_q_mask=seq_len_q % block_q != 0,
-        needs_kv_mask=seq_len_kv % block_kv != 0,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=dot_precision(do, v),
-    )
-    ds = p * (dp - delta_row) * scale
-    ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
-    if mask is not None:
-        ds = jnp.where(mask, ds, 0.0)
-    ds = ds.astype(q.dtype)
-    dq_acc[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=dot_precision(k),
-    )
+    if causal:
+        visible = (kv_start + offs_ref[0, 1]
+                   <= q_start + block_q - 1 + offs_ref[0, 0])
+    else:
+        visible = True
+
+    @pl.when(visible)
+    def _visible_tile():
+        q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
+        k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
+        v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
+        do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
+        lse_row = lse_ref[0, 0, :][:, None]
+        delta_row = delta_ref[0, 0, :][:, None]
+        p, mask = _recompute_p(
+            q, k, lse_row, scale=scale, causal=causal,
+            q_start=q_start,
+            kv_start=kv_start,
+            q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+            block_q=block_q, block_kv=block_kv,
+            seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+            needs_q_mask=seq_len_q % block_q != 0,
+            needs_kv_mask=seq_len_kv % block_kv != 0,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do, v),
+        )
+        ds = p * (dp - delta_row) * scale
+        ds = jnp.where(jnp.isneginf(lse_row), 0.0, ds)
+        if mask is not None:
+            ds = jnp.where(mask, ds, 0.0)
+        ds = ds.astype(q.dtype)
+        dq_acc[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(k),
+        )
 
     @pl.when(ki == n_kv - 1)
     def _finalize():

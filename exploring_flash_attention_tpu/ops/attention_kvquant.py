@@ -42,7 +42,9 @@ from exploring_flash_attention_tpu.ops.quant import QuantizedTensor
 
 def _kvquant_kernel(
     q_ref, k_ref, v_ref,          # (1, BQ, d) bf16, (1, BK, d) int8/fp8 x2
-    k_scale_ref, v_scale_ref,     # SMEM (1, 1) f32
+    k_scale_ref, v_scale_ref,     # SMEM, full [n_bh * n_kv] f32 (unblocked:
+                                  # TPU SMEM blocks must keep native tiling,
+                                  # so scales are indexed by program id)
     o_ref,
     acc_ref, m_ref, l_ref,
     *,
@@ -54,6 +56,7 @@ def _kvquant_kernel(
 ):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
+    scale_idx = pl.program_id(0) * n_kv + kv_idx
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -63,7 +66,7 @@ def _kvquant_kernel(
 
     q = q_ref[0]
     k = k_ref[0].astype(compute_dtype)       # exact int8/fp8 -> bf16 cast
-    k_s = k_scale_ref[0, 0]
+    k_s = k_scale_ref[scale_idx]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -93,7 +96,7 @@ def _kvquant_kernel(
         p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    v_s = v_scale_ref[0, 0]
+    v_s = v_scale_ref[scale_idx]
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv * v_s   # fused dequant of V
 
     @pl.when(kv_idx == n_kv - 1)
@@ -158,12 +161,8 @@ def flash_attention_kvquant(
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec(
-                (1, 1), lambda bh, qi, ki: (bh, ki), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1), lambda bh, qi, ki: (bh, ki), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
@@ -176,5 +175,5 @@ def flash_attention_kvquant(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_resolve_interpret(interpret),
-    )(qf, kf, vf, ks, vs)
+    )(qf, kf, vf, ks.reshape(-1), vs.reshape(-1))
     return out.reshape(b, h, lq, d)

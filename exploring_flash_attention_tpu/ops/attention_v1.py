@@ -87,6 +87,8 @@ def _v1_kernel(
 ):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
+    q_idx = pl.program_id(1)   # hoisted: program_id cannot be read inside
+                               # pl.when bodies under interpret mode
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -94,60 +96,76 @@ def _v1_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    # S = Q K^T * scale on the MXU, f32 accumulate (reference
-    # mat_mul_scaled_basic, flash_attention_v1.h:51-66).
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=dot_precision(q, k),
-    )
-    s *= scale
+    # Causal tile-skip: a KV tile strictly above the diagonal contributes
+    # nothing — skip its matmuls entirely (the FLOP-halving the reference
+    # never had; boom guide "skip entire KV tiles above the diagonal").
+    if causal:
+        diag_off = seq_len_kv - seq_len_q
+        tile_visible = (
+            kv_idx * block_kv <= (q_idx + 1) * block_q - 1 + diag_off
+        )
+    else:
+        tile_visible = True
 
-    # Mask padded KV columns (ragged L_kv) and/or the causal triangle.
-    needs_kv_mask = seq_len_kv % block_kv != 0
-    if needs_kv_mask or causal:
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        col = col + kv_idx * block_kv
-        mask = None
+    @pl.when(tile_visible)
+    def _tile():
+        q = q_ref[0]
+        k = k_ref[0]
+        # S = Q K^T * scale on the MXU, f32 accumulate (reference
+        # mat_mul_scaled_basic, flash_attention_v1.h:51-66).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
+        )
+        s *= scale
+
+        # Mask padded KV columns (ragged L_kv) and/or the causal triangle.
+        needs_kv_mask = seq_len_kv % block_kv != 0
+        if needs_kv_mask or causal:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            col = col + kv_idx * block_kv
+            mask = None
+            if needs_kv_mask:
+                mask = col < seq_len_kv
+            if causal:
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0
+                )
+                row = row + q_idx * block_q
+                cmask = col <= row + (seq_len_kv - seq_len_q)
+                mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+            s = jnp.where(mask, s, NEG_INF)
+
+        # Online-softmax state update (the process_kv_tile contract,
+        # sim/tile_loop.py:process_kv_tile).
+        m_prev = m_ref[...]                                 # (BQ, 128)
+        m_cur = jnp.max(s, axis=1, keepdims=True)           # (BQ, 1)
+        m_new = jnp.maximum(m_prev, m_cur)                  # broadcast lanes
+        alpha = jnp.exp(m_prev - m_new)                     # (BQ, 128)
+        # guard: fully-masked row keeps m = -inf; exp(-inf - -inf) -> use 0
+        alpha = jnp.where(jnp.isneginf(m_new), 0.0, alpha)
+        p = jnp.exp(s - m_new[:, :1])                       # (BQ, BK) f32
+        if causal or needs_kv_mask:
+            p = jnp.where(jnp.isneginf(s), 0.0, p)          # kill -inf nans
+
+        m_ref[...] = m_new
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[0]
         if needs_kv_mask:
-            mask = col < seq_len_kv
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            row = row + pl.program_id(1) * block_q
-            cmask = col <= row + (seq_len_kv - seq_len_q)
-            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
-        s = jnp.where(mask, s, NEG_INF)
-
-    # Online-softmax state update (the process_kv_tile contract,
-    # sim/tile_loop.py:process_kv_tile).
-    m_prev = m_ref[...]                                   # (BQ, 128)
-    m_cur = jnp.max(s, axis=1, keepdims=True)             # (BQ, 1)
-    m_new = jnp.maximum(m_prev, m_cur)                    # broadcast to lanes
-    alpha = jnp.exp(m_prev - m_new)                       # (BQ, 128)
-    # guard: fully-masked row keeps m = -inf; exp(-inf - -inf) -> use 0
-    alpha = jnp.where(jnp.isneginf(m_new), 0.0, alpha)
-    p = jnp.exp(s - m_new[:, :1])                         # (BQ, BK) f32
-    if causal or needs_kv_mask:
-        p = jnp.where(jnp.isneginf(s), 0.0, p)            # kill -inf - -inf nans
-
-    m_ref[...] = m_new
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-    v = v_ref[0]
-    if needs_kv_mask:
-        # padded V rows hold undefined values (NaN under interpret); zero
-        # them so p=0 columns can't poison the matmul via 0*NaN
-        vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
-        vrow = vrow + kv_idx * block_kv
-        v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
-    # P @ V with P cast to storage dtype for full MXU rate (the reference's
-    # half exp_S path, flash_attention_v1.h:148-156).
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=dot_precision(v),
-    )
-    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+            # padded V rows hold undefined values (NaN under interpret);
+            # zero them so p=0 columns can't poison the matmul via 0*NaN
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+            vrow = vrow + kv_idx * block_kv
+            v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+        # P @ V with P cast to storage dtype for full MXU rate (the
+        # reference's half exp_S path, flash_attention_v1.h:148-156).
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(v),
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == n_kv - 1)
     def _finalize():

@@ -89,6 +89,19 @@ def _splitkv_fwd_kernel(
     needs_kv_mask = seq_len_kv % block_kv != 0 or seq_len_kv % kv_span != 0
 
     def tile_step(t, _):
+        # causal tile-skip: tiles strictly above the diagonal are dead work
+        if causal:
+            visible = (span_start + t * block_kv + kv_pos0
+                       <= q_start + block_q - 1 + q_pos0)
+        else:
+            visible = True
+
+        @pl.when(visible)
+        def _visible_tile():
+            _tile_body(t)
+        return ()
+
+    def _tile_body(t):
         k_t = k_ref[0, pl.ds(t * block_kv, block_kv), :]
         v_t = v_ref[0, pl.ds(t * block_kv, block_kv), :]
         s = jax.lax.dot_general(
@@ -129,7 +142,6 @@ def _splitkv_fwd_kernel(
             preferred_element_type=jnp.float32, precision=dot_precision(v_t),
         )
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
-        return ()
 
     jax.lax.fori_loop(0, n_tiles, tile_step, (), unroll=True)
 

@@ -67,18 +67,31 @@ def ring_attention(
 
         perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
+        # Overlap structure: each scan step STARTS the rotation of the shard
+        # it already holds (async collective-permute over ICI), then computes
+        # attention on that same shard while the transfer is in flight — the
+        # compute result does not depend on the permute output, so XLA's
+        # async collective scheduling can run them concurrently (the
+        # dataflow analog of the double-buffered make_async_remote_copy ring,
+        # pallas_guide "Ring Collectives"; compute-hides-comm as in SURVEY §7
+        # stage 8).  Step 0 (the local shard) is peeled above; the scan folds
+        # shards my-1, my-2, ... in arrival order.
         def body(carry, step):
             o, lse, k_c, v_c = carry
-            # rotate KV shards one hop, fold the newly arrived shard in
-            k_c = jax.lax.ppermute(k_c, axis_name, perm)
-            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+            k_nxt = jax.lax.ppermute(k_c, axis_name, perm)   # start transfer
+            v_nxt = jax.lax.ppermute(v_c, axis_name, perm)
             src_idx = jax.lax.rem(my - step + n_ring, n_ring)
-            o_p, lse_p = partial(k_c, v_c, src_idx)
+            o_p, lse_p = partial(k_c, v_c, src_idx)          # overlap compute
             o, lse = merge_partials(o, lse, o_p, lse_p)
-            return (o, lse, k_c, v_c), None
+            return (o, lse, k_nxt, v_nxt), None
 
+        # the peeled step 0 already consumed the local shard, so the scan
+        # body computes on the shard that arrived at the END of the previous
+        # step: rotate once before entering the loop
+        k_c = jax.lax.ppermute(k_l, axis_name, perm)
+        v_c = jax.lax.ppermute(v_l, axis_name, perm)
         (o, lse, _, _), _ = jax.lax.scan(
-            body, (o, lse, k_l, v_l), jnp.arange(1, n_ring)
+            body, (o, lse, k_c, v_c), jnp.arange(1, n_ring)
         )
         return o.astype(q_l.dtype)
 

@@ -1,7 +1,21 @@
+from exploring_flash_attention_tpu.utils.autotune import autotune_v1
 from exploring_flash_attention_tpu.utils.benchmark import (
     attention_flops,
     roofline_attention_tflops,
     time_fn_chained,
 )
+from exploring_flash_attention_tpu.utils.profiling import (
+    kernel_report,
+    roofline_tflops,
+    trace,
+)
 
-__all__ = ["time_fn_chained", "attention_flops", "roofline_attention_tflops"]
+__all__ = [
+    "autotune_v1",
+    "time_fn_chained",
+    "attention_flops",
+    "roofline_attention_tflops",
+    "kernel_report",
+    "roofline_tflops",
+    "trace",
+]

@@ -1,0 +1,147 @@
+"""Runtime block-size autotuner.
+
+The reference tunes kernels by recompiling with different ``-D`` macros
+(``make BQ=8 BK=8 D_TILE_QK=16 run``, reference root README.md:163-165).
+On TPU, jit tracing already specializes kernels on :class:`TileConfig`, so
+tuning becomes: time a candidate set on the live device once per
+(kernel, shape, dtype) key and cache the winner — in process and on disk,
+so long-running serving processes and repeated training runs pay the sweep
+once.
+
+Usage::
+
+    cfg = autotune_v1(q, k, v)                 # best TileConfig for q/k/v
+    out = flash_attention_v1(q, k, v, config=cfg)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from exploring_flash_attention_tpu.configs import SplitKVConfig, TileConfig
+
+_CACHE: Dict[str, TileConfig] = {}
+_CACHE_PATH = os.environ.get(
+    "EFA_AUTOTUNE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "efa_tpu_autotune.json"),
+)
+
+
+def _key(kernel: str, shape: Tuple[int, ...], lkv: int, dtype) -> str:
+    return f"{kernel}|{jax.default_backend()}|{shape}|{lkv}|{jnp.dtype(dtype).name}"
+
+
+def _load_disk() -> Dict[str, dict]:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_disk(key: str, cfg: TileConfig) -> None:
+    data = _load_disk()
+    data[key] = {
+        "block_q": cfg.block_q,
+        "block_kv": cfg.block_kv,
+        "d_tile_qk": cfg.d_tile_qk,
+        "d_tile_v": cfg.d_tile_v,
+    }
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(data, f, indent=1)
+    except OSError:
+        pass  # read-only FS: in-process cache still applies
+
+
+def _time_once(fn: Callable[[], jax.Array], iters: int) -> float:
+    """Median wall time of ``iters`` chained executions (scan keeps the
+    chain on-device; see utils/benchmark.py for the rationale)."""
+    out = fn()  # compile + warm
+    jnp.sum(out).block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = fn()
+        float(jnp.sum(o))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def default_candidates_v1(lq: int, lkv: int, d: int) -> List[TileConfig]:
+    """Candidate tile geometries for the fused forward at this shape."""
+    cands = []
+    for bq in (256, 512, 1024):
+        if bq > lq and bq != min(
+            x for x in (256, 512, 1024) if x >= lq or x == 1024
+        ):
+            continue
+        for bk in (512, 1024, 2048):
+            if bk > lkv * 2:
+                continue
+            cands.append(TileConfig(block_q=min(bq, max(lq, 8)),
+                                    block_kv=min(bk, max(lkv, 8))))
+    # whole-KV one-pass candidate
+    cands.append(TileConfig(block_q=min(1024, max(lq, 8)),
+                            block_kv=max(lkv, 8)))
+    # dedupe preserving order
+    seen, out = set(), []
+    for c in cands:
+        k = (c.block_q, c.block_kv)
+        if k not in seen:
+            seen.add(k)
+            out.append(c)
+    return out
+
+
+def autotune_v1(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    candidates: Optional[Sequence[TileConfig]] = None,
+    iters: int = 8,
+    causal: bool = False,
+    use_disk_cache: bool = True,
+) -> TileConfig:
+    """Return the fastest TileConfig for ``flash_attention_v1`` on these
+    operands, measured on the live backend (cached per shape/dtype)."""
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+
+    key = _key("v1" + ("c" if causal else ""), q.shape, k.shape[2], q.dtype)
+    if key in _CACHE:
+        return _CACHE[key]
+    if use_disk_cache:
+        disk = _load_disk().get(key)
+        if disk:
+            cfg = TileConfig(**disk)
+            _CACHE[key] = cfg
+            return cfg
+
+    cands = list(candidates or default_candidates_v1(
+        q.shape[2], k.shape[2], q.shape[3]))
+    best, best_t = cands[0], float("inf")
+    for cfg in cands:
+        try:
+            t = _time_once(
+                lambda cfg=cfg: flash_attention_v1(
+                    q, k, v, config=cfg, causal=causal),
+                iters,
+            )
+        except Exception:  # noqa: BLE001 — infeasible geometry (VMEM, ...)
+            continue
+        if t < best_t:
+            best, best_t = cfg, t
+    _CACHE[key] = best
+    if use_disk_cache:
+        _save_disk(key, best)
+    return best

@@ -1,0 +1,44 @@
+"""Autotuner + profiling harness (CPU interpret mode, tiny shapes)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from exploring_flash_attention_tpu.configs import TileConfig
+from exploring_flash_attention_tpu.oracle.reference import make_qkv
+from exploring_flash_attention_tpu.utils.autotune import (
+    _CACHE,
+    autotune_v1,
+    default_candidates_v1,
+)
+from exploring_flash_attention_tpu.utils.profiling import roofline_tflops
+
+
+def test_autotune_returns_valid_config_and_caches(tmp_path, monkeypatch):
+    import exploring_flash_attention_tpu.utils.autotune as at
+
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    _CACHE.clear()
+    q, k, v = make_qkv(1, 1, 64, 32, dtype=np.float32, seed=0)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    cands = [TileConfig(block_q=32, block_kv=32),
+             TileConfig(block_q=64, block_kv=64)]
+    cfg = autotune_v1(q, k, v, candidates=cands, iters=1)
+    assert cfg in cands
+    # second call must hit the in-process cache (no timing)
+    assert autotune_v1(q, k, v, candidates=[], iters=1) == cfg
+    # disk cache round-trips
+    _CACHE.clear()
+    assert autotune_v1(q, k, v, candidates=[cands[0]], iters=1) == cfg
+
+
+def test_default_candidates_cover_onepass():
+    cands = default_candidates_v1(1024, 1024, 128)
+    assert any(c.block_kv >= 1024 for c in cands)
+    assert all(c.block_q <= 1024 for c in cands)
+
+
+def test_roofline_model():
+    # compute-bound regime: high intensity clips at peak
+    assert roofline_tflops(10**15, 10**6) == 197.0
+    # bandwidth-bound: intensity 1 flop/byte * 819 GB/s = 0.819 TFLOP/s
+    assert abs(roofline_tflops(10**9, 10**9) - 0.819) < 1e-6
