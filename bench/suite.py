@@ -198,6 +198,54 @@ def bench_kvquant_int8():
          f"{sec*1e3:.3f} ms, gate {err:.1e} (vs dequantized oracle)")
 
 
+def bench_int8_qkv():
+    """Fully-quantized QKV kernels: int8 QK^T + bf16 PV (accurate) and
+    full-int8 (fastest) at the canonical shape."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops.attention_int8 import (
+        flash_attention_int8,
+    )
+    from exploring_flash_attention_tpu.ops.quant import dequantize, quantize_int8
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    cfg = TileConfig(block_q=512, block_kv=512)
+
+    qb, kb, vb = _qkv_bf16(2, 4, 512, d, seed=0)
+    qq = quantize_int8(qb, block=512)
+    kq, vq = quantize_int8(kb, block=512), quantize_int8(vb, block=512)
+    ref = naive_attention(
+        np.asarray(dequantize(qq)), np.asarray(dequantize(kq)),
+        np.asarray(dequantize(vq)))
+    out = np.asarray(flash_attention_int8(
+        qq, kq, vq, config=cfg, out_dtype=jnp.float32))
+    err = gate(out, ref, 1.5e-3, "int8_qkv_bf16pv")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    kq, vq = quantize_int8(kb, block=512), quantize_int8(vb, block=512)
+
+    def step_bf16pv(x):
+        xq = quantize_int8(x, block=512)
+        return flash_attention_int8(xq, kq, vq, config=cfg)
+
+    def step_int8pv(x):
+        xq = quantize_int8(x, block=512)
+        return flash_attention_int8(xq, kq, vq, config=cfg, pv_mode="int8")
+
+    flops = attention_flops(b, h, l, l, d)
+    sec = time_fn_chained(step_bf16pv, qb)
+    emit("fwd_int8qk_bf16pv_tflops", flops / sec / 1e12, "TFLOP/s",
+         39.0 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms incl. per-step Q quant, gate {err:.1e}")
+    sec = time_fn_chained(step_int8pv, qb)
+    emit("fwd_int8_full_tflops", flops / sec / 1e12, "TFLOP/s",
+         39.0 / (sec * 1e3), f"{sec*1e3:.3f} ms incl. per-step Q quant")
+
+
 def bench_decode_tokens():
     """Paged INT8-cache decode throughput: 32 concurrent sequences, 2048
     cached tokens each, one generated token per step."""
@@ -297,6 +345,7 @@ ALL = {
     "dtiled_d512": bench_dtiled_d512,
     "splitkv": bench_splitkv,
     "kvquant_int8": bench_kvquant_int8,
+    "int8_qkv": bench_int8_qkv,
     "decode_tokens": bench_decode_tokens,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "long_context": bench_long_context,

@@ -1,3 +1,8 @@
+from exploring_flash_attention_tpu.models.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from exploring_flash_attention_tpu.models.transformer import (
     ModelConfig,
     forward,
@@ -12,4 +17,7 @@ __all__ = [
     "forward",
     "loss_fn",
     "make_train_step",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
 ]

@@ -2,6 +2,9 @@ from exploring_flash_attention_tpu.ops.attention_v1 import flash_attention_v1
 from exploring_flash_attention_tpu.ops.attention_v1_dtiled import (
     flash_attention_v1_dtiled,
 )
+from exploring_flash_attention_tpu.ops.attention_int8 import (
+    flash_attention_int8,
+)
 from exploring_flash_attention_tpu.ops.attention_kvquant import (
     flash_attention_kvquant,
 )
@@ -22,6 +25,7 @@ __all__ = [
     "flash_attention_v1_dtiled",
     "flash_attention_v2",
     "flash_attention_kvquant",
+    "flash_attention_int8",
     "flash_attention_splitkv_partial",
     "splitkv_combine",
 ]

@@ -47,10 +47,15 @@ NEG_INF = float("-inf")
 STATS_LANES = 128
 LOG2E = math.log2(math.e)
 
-# One-pass fast path: largest L_kv whose full K/V (plus the f32 score strip)
-# comfortably fits VMEM at d=128.  Above this the online-softmax streaming
-# kernel takes over.
+# One-pass fast path: largest L_kv * d product whose full K/V (plus the f32
+# score strip) comfortably fits VMEM (= L_kv 4096 at d=128, 1024 at d=512).
+# Above this the online-softmax streaming kernel takes over.
 ONEPASS_MAX_KV = 4096
+ONEPASS_MAX_KV_ELEMS = ONEPASS_MAX_KV * 128
+
+
+def fits_onepass(lkv: int, d: int) -> bool:
+    return lkv * d <= ONEPASS_MAX_KV_ELEMS
 # Rows of scores processed per inner step — small enough that the Mosaic
 # scheduler can overlap one chunk's VPU softmax with the next chunk's MXU
 # matmul (measured optimum on v5e; see scripts/proto_onepass*.py sweeps).
@@ -310,7 +315,7 @@ def flash_attention_v1(
     # (auto-tuning: measured ~1.3x over the streaming kernel, see
     # scripts/proto_onepass*.py).
     wants_onepass = config.block_kv >= lkv or config == TileConfig()
-    if not causal and lkv <= ONEPASS_MAX_KV and wants_onepass:
+    if not causal and fits_onepass(lkv, d) and wants_onepass:
         out = _flash_attention_v1_onepass(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret)
         )

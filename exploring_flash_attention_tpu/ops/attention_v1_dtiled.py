@@ -49,16 +49,17 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
     NEG_INF,
     STATS_LANES,
     _resolve_interpret,
+    dot_precision,
 )
 
 
 def _dtiled_kernel(
-    q_hbm, k_hbm, v_hbm,     # ANY-space refs: [nbh, L, d]
+    q_ref, k_hbm, v_hbm,     # q: VMEM block (1, BQ, d); k/v: ANY [nbh, L, d]
     o_ref,                   # VMEM block (1, BQ, d)
-    q_buf, k_buf, v_buf,     # VMEM chunk scratch: (2, BQ, DTQ), (2, BK, DTQ), (2, BK, DTV)
+    k_buf, v_buf,            # VMEM chunk scratch: (2, BK, DTQ), (2, BK, DTV)
     s_scratch,               # VMEM (BQ, BK) f32
     o_acc, m_ref, l_ref,     # VMEM (BQ, d) f32, (BQ, 128) f32 x2
-    sems,                    # DMA semaphores (3, 2)
+    sems,                    # DMA semaphores (2, 2)
     *,
     scale: float,
     block_q: int,
@@ -69,42 +70,37 @@ def _dtiled_kernel(
     seq_len_kv: int,
 ):
     bh = pl.program_id(0)
-    qi = pl.program_id(1)
     n_kv = seq_len_kv // block_kv
     n_cq = head_dim // d_tile_qk
     n_cv = head_dim // d_tile_v
-    q0 = qi * block_q
 
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
     o_acc[...] = jnp.zeros_like(o_acc)
 
-    def q_dma(slot, c):
-        return pltpu.make_async_copy(
-            q_hbm.at[bh, pl.ds(q0, block_q), pl.ds(c * d_tile_qk, d_tile_qk)],
-            q_buf.at[slot],
-            sems.at[0, slot],
-        )
+    # Q stays VMEM-resident for the whole program (the reference re-loads Q
+    # chunks per KV tile because shared memory is KBs, tiled_d
+    # flash_attention_v1.h:154-174; VMEM holds the full (BQ, d) block, so
+    # only K/V stream in d-chunks)
 
     def k_dma(slot, k_start, c):
         return pltpu.make_async_copy(
             k_hbm.at[bh, pl.ds(k_start, block_kv), pl.ds(c * d_tile_qk, d_tile_qk)],
             k_buf.at[slot],
-            sems.at[1, slot],
+            sems.at[0, slot],
         )
 
     def v_dma(slot, k_start, c):
         return pltpu.make_async_copy(
             v_hbm.at[bh, pl.ds(k_start, block_kv), pl.ds(c * d_tile_v, d_tile_v)],
             v_buf.at[slot],
-            sems.at[2, slot],
+            sems.at[1, slot],
         )
 
     def kv_step(ki, _):
         k_start = ki * block_kv
 
-        # ---- d-loop #1: S = sum_c Q_c K_c^T, double-buffered chunk DMAs ----
-        q_dma(0, 0).start()
+        # ---- d-loop #1: S = sum_c Q_c K_c^T, double-buffered K DMAs ----
         k_dma(0, k_start, 0).start()
 
         def qk_chunk(c, _):
@@ -113,14 +109,14 @@ def _dtiled_kernel(
 
             @pl.when(c + 1 < n_cq)
             def _prefetch():
-                q_dma(nxt, c + 1).start()
                 k_dma(nxt, k_start, c + 1).start()
 
-            q_dma(slot, c).wait()
             k_dma(slot, k_start, c).wait()
+            q_c = q_ref[0, :, pl.ds(c * d_tile_qk, d_tile_qk)]
             partial = jax.lax.dot_general(
-                q_buf[slot], k_buf[slot], (((1,), (1,)), ((), ())),
+                q_c, k_buf[slot], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(q_c),
             )
 
             @pl.when(c == 0)
@@ -163,6 +159,7 @@ def _dtiled_kernel(
             pv = jax.lax.dot_general(
                 p_cast, v_buf[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(p_cast),
             )
             col = pl.ds(c * d_tile_v, d_tile_v)
             o_acc[:, col] = o_acc[:, col] + pv
@@ -231,21 +228,20 @@ def flash_attention_v1_dtiled(
         kernel,
         grid=(n_bh, n_q),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block_q, d_tile_qk), q.dtype),
             pltpu.VMEM((2, block_kv, d_tile_qk), k.dtype),
             pltpu.VMEM((2, block_kv, d_tile_v), v.dtype),
             pltpu.VMEM((block_q, block_kv), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

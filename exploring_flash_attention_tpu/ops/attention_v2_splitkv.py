@@ -37,11 +37,108 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exploring_flash_attention_tpu.configs import SplitKVConfig, cdiv
 from exploring_flash_attention_tpu.ops.attention_v1 import (
+    LOG2E,
     NEG_INF,
+    ONEPASS_Q_CHUNK,
     STATS_LANES,
     _resolve_interpret,
     dot_precision,
+    fits_onepass,
 )
+
+
+def _onepass_partial_kernel(
+    *refs,
+    scale: float,
+    q_chunk: int,
+    kv_chunk: int,
+    block_q: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    has_offsets: bool,
+):
+    """Single-pass partial-attention forward for a VMEM-resident KV span
+    (n_kb == 1): the strip-mined one-pass softmax of attention_v1's fast
+    path, extended with the LSE output and causal chunk-skip.
+
+    Causal MXU work above the diagonal is skipped per (q-strip, kv-chunk)
+    via ``lax.cond`` — with traced shard offsets (ring / sequence-parallel)
+    the predicate is dynamic, with the decode convention it folds to a
+    static branch."""
+    if has_offsets:
+        q_ref, k_ref, v_ref, offs_ref, o_part_ref, lse_ref = refs
+        q_pos0 = offs_ref[0, 0]
+        kv_pos0 = offs_ref[0, 1]
+    else:
+        q_ref, k_ref, v_ref, o_part_ref, lse_ref = refs
+        q_pos0 = seq_len_kv - seq_len_q
+        kv_pos0 = 0
+    c = scale * LOG2E
+    q_base = pl.program_id(1) * block_q
+    k = k_ref[0]
+    v = v_ref[0]
+
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        q = q_ref[0, q0:q0 + rows, :]
+        pieces = []
+        for k0 in range(0, seq_len_kv, kv_chunk):
+            cols = min(kv_chunk, seq_len_kv - k0)
+            k_c = k[k0:k0 + cols, :]
+
+            def compute(q=q, k_c=k_c, rows=rows, cols=cols):
+                return jax.lax.dot_general(
+                    q, k_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k_c),
+                )
+
+            if causal:
+                # chunk visible iff its first column is <= the strip's last
+                # row in global coordinates
+                visible = (
+                    (k0 + kv_pos0)
+                    <= (q_base + q0 + rows - 1 + q_pos0)
+                )
+                piece = jax.lax.cond(
+                    visible,
+                    compute,
+                    lambda rows=rows, cols=cols: jnp.full(
+                        (rows, cols), NEG_INF, jnp.float32
+                    ),
+                )
+            else:
+                piece = compute()
+            pieces.append(piece)
+        s = (jnp.concatenate(pieces, axis=1)
+             if len(pieces) > 1 else pieces[0])
+
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(
+                (col + kv_pos0) <= (row + q_base + q0 + q_pos0),
+                s, NEG_INF,
+            )
+
+        m = jnp.max(s, axis=1, keepdims=True)
+        arg = jnp.where(jnp.isneginf(m), NEG_INF, s * c - m * c)
+        p = jnp.exp2(arg)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(v),
+        )
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_part_ref[0, 0, q0:q0 + rows, :] = (pv / denom).astype(
+            o_part_ref.dtype)
+        lse = jnp.where(
+            l[:, 0] == 0.0, NEG_INF, m[:, 0] * scale + jnp.log(l[:, 0])
+        )
+        lse_ref[0, 0, :, q0:q0 + rows] = jnp.broadcast_to(
+            lse[None, :], (8, rows)
+        )
 
 
 def _splitkv_fwd_kernel(
@@ -211,6 +308,68 @@ def flash_attention_splitkv_partial(
     vf = v.reshape(n_bh, lkv, d)
 
     has_offsets = positions is not None
+
+    # One-pass fast path: a single VMEM-resident KV block needs no online
+    # state — run the strip-mined single-softmax kernel (with causal
+    # chunk-skip) and emit the same (o_partial, lse) contract.
+    if n_kb == 1 and fits_onepass(lkv, d):
+        op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
+            else block_q
+        op_n_q = cdiv(lq, op_block_q)
+        op_kernel = functools.partial(
+            _onepass_partial_kernel,
+            scale=scale,
+            q_chunk=min(ONEPASS_Q_CHUNK, op_block_q),
+            kv_chunk=min(512, lkv),
+            block_q=op_block_q,
+            seq_len_q=lq,
+            seq_len_kv=lkv,
+            causal=causal,
+            has_offsets=has_offsets,
+        )
+        op_specs = [
+            pl.BlockSpec((1, op_block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+        ]
+        op_inputs = [qf, kf, vf]
+        if has_offsets:
+            q_pos0, kv_pos0 = positions
+            offs = jnp.stack([
+                jnp.asarray(q_pos0, jnp.int32),
+                jnp.asarray(kv_pos0, jnp.int32),
+            ]).reshape(1, 2)
+            op_specs.append(
+                pl.BlockSpec((1, 2), lambda bh, qi: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            op_inputs.append(offs)
+        o_part, lse = pl.pallas_call(
+            op_kernel,
+            grid=(n_bh, op_n_q),
+            in_specs=op_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, op_block_q, d), lambda bh, qi: (bh, 0, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, op_block_q), lambda bh, qi: (bh, 0, 0, qi)
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bh, 1, lq, d), workspace_dtype),
+                jax.ShapeDtypeStruct((n_bh, 1, 8, lq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=_resolve_interpret(interpret),
+        )(*op_inputs)
+        return (
+            o_part.reshape(b, h, 1, lq, d),
+            lse[:, :, 0, :].reshape(b, h, 1, lq),
+        )
+
     kernel = functools.partial(
         _splitkv_fwd_kernel,
         scale=scale,
