@@ -40,8 +40,8 @@ class TileConfig:
     128-sized blocks.  Same knobs, different sweet spots.
     """
 
-    block_q: int = 128          # reference BQ
-    block_kv: int = 128         # reference BK
+    block_q: int = 512          # reference BQ (TPU sweet spot; min 128)
+    block_kv: int = 512         # reference BK
     d_tile_qk: Optional[int] = None   # reference D_TILE_QK (None = no d-tiling)
     d_tile_v: Optional[int] = None    # reference D_TILE_V
 

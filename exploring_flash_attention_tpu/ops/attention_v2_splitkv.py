@@ -57,23 +57,29 @@ def _onepass_partial_kernel(
     seq_len_kv: int,
     causal: bool,
     has_offsets: bool,
+    static_positions=None,
 ):
     """Single-pass partial-attention forward for a VMEM-resident KV span
     (n_kb == 1): the strip-mined one-pass softmax of attention_v1's fast
     path, extended with the LSE output and causal chunk-skip.
 
-    Causal MXU work above the diagonal is skipped per (q-strip, kv-chunk)
-    via ``lax.cond`` — with traced shard offsets (ring / sequence-parallel)
-    the predicate is dynamic, with the decode convention it folds to a
-    static branch."""
+    Causal handling: with static offsets (``has_offsets=False``, the decode
+    convention) chunks strictly above a strip's diagonal are skipped at
+    trace time — real FLOP savings with zero control-flow overhead.  With
+    traced shard offsets (ring / sequence-parallel) the kernel computes the
+    full span and masks; whole-shard skipping belongs to the caller
+    (parallel/ring.py wraps the shard in one ``lax.cond``) — measured on
+    v5e, per-chunk ``lax.cond`` costs more than the MXU work it saves."""
     if has_offsets:
         q_ref, k_ref, v_ref, offs_ref, o_part_ref, lse_ref = refs
         q_pos0 = offs_ref[0, 0]
         kv_pos0 = offs_ref[0, 1]
     else:
         q_ref, k_ref, v_ref, o_part_ref, lse_ref = refs
-        q_pos0 = seq_len_kv - seq_len_q
-        kv_pos0 = 0
+        q_pos0, kv_pos0 = (
+            static_positions if static_positions is not None
+            else (seq_len_kv - seq_len_q, 0)   # decode convention
+        )
     c = scale * LOG2E
     q_base = pl.program_id(1) * block_q
     k = k_ref[0]
@@ -86,31 +92,27 @@ def _onepass_partial_kernel(
         for k0 in range(0, seq_len_kv, kv_chunk):
             cols = min(kv_chunk, seq_len_kv - k0)
             k_c = k[k0:k0 + cols, :]
-
-            def compute(q=q, k_c=k_c, rows=rows, cols=cols):
-                return jax.lax.dot_general(
-                    q, k_c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=dot_precision(q, k_c),
-                )
-
-            if causal:
-                # chunk visible iff its first column is <= the strip's last
-                # row in global coordinates
+            if causal and not has_offsets:
+                # static offsets: chunk visible iff its first column is <=
+                # the strip's last row in global coordinates — invisible
+                # chunks cost a constant fill, not a matmul.  q_base is a
+                # traced program id, so use the static worst-case (last) q
+                # block: exact when n_q == 1 (the common op_block_q == Lq
+                # case), conservative otherwise.
+                max_q_base = (cdiv(seq_len_q, block_q) - 1) * block_q
                 visible = (
-                    (k0 + kv_pos0)
-                    <= (q_base + q0 + rows - 1 + q_pos0)
+                    (k0 + kv_pos0) <= (max_q_base + q0 + rows - 1 + q_pos0)
                 )
-                piece = jax.lax.cond(
-                    visible,
-                    compute,
-                    lambda rows=rows, cols=cols: jnp.full(
-                        (rows, cols), NEG_INF, jnp.float32
-                    ),
-                )
-            else:
-                piece = compute()
-            pieces.append(piece)
+                if not visible:
+                    pieces.append(
+                        jnp.full((rows, cols), NEG_INF, jnp.float32)
+                    )
+                    continue
+            pieces.append(jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k_c),
+            ))
         s = (jnp.concatenate(pieces, axis=1)
              if len(pieces) > 1 else pieces[0])
 
@@ -151,6 +153,7 @@ def _splitkv_fwd_kernel(
     seq_len_kv: int,
     causal: bool,
     has_offsets: bool,
+    static_positions=None,
 ):
     # refs layout:
     #   q_ref, k_ref, v_ref            (1, BQ, d), (1, SPAN, d), (1, SPAN, d)
@@ -169,8 +172,10 @@ def _splitkv_fwd_kernel(
         kv_pos0 = offs_ref[0, 1]
     else:
         q_ref, k_ref, v_ref, o_part_ref, lse_ref, acc_ref, m_ref, l_ref = refs
-        q_pos0 = seq_len_kv - seq_len_q   # decode convention: q rows are the
-        kv_pos0 = 0                       # last seq_len_q positions
+        q_pos0, kv_pos0 = (
+            static_positions if static_positions is not None
+            else (seq_len_kv - seq_len_q, 0)   # decode convention
+        )
     kb = pl.program_id(2)
     q = q_ref[0]
     n_tiles = kv_span // block_kv
@@ -270,7 +275,8 @@ def _combine_kernel(o_part_ref, lse_ref, o_ref, *, out_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "causal", "scale", "interpret", "workspace_dtype"),
+    static_argnames=("config", "causal", "scale", "interpret",
+                     "workspace_dtype", "static_positions"),
 )
 def flash_attention_splitkv_partial(
     q: jax.Array,                 # [B, H, Lq, d]
@@ -282,13 +288,18 @@ def flash_attention_splitkv_partial(
     interpret: Optional[bool] = None,
     workspace_dtype=jnp.float32,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
+    static_positions: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Phase 1: returns (o_partial [B,H,nkb,Lq,d], lse [B,H,nkb,Lq]).
 
     ``positions``: optional traced int32 scalars (q_pos0, kv_pos0) — the
     global sequence positions of q row 0 and kv row 0, for causal masking
     of ring / sequence-parallel shards.  Default assumes q rows are the
-    final Lq positions of the KV span (decode convention)."""
+    final Lq positions of the KV span (decode convention).
+    ``static_positions``: same as ``positions`` but compile-time ints —
+    enables trace-time causal chunk skipping (real FLOP savings)."""
+    if positions is not None and static_positions is not None:
+        raise ValueError("pass positions OR static_positions, not both")
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     if scale is None:
@@ -326,6 +337,7 @@ def flash_attention_splitkv_partial(
             seq_len_kv=lkv,
             causal=causal,
             has_offsets=has_offsets,
+            static_positions=static_positions,
         )
         op_specs = [
             pl.BlockSpec((1, op_block_q, d), lambda bh, qi: (bh, qi, 0)),
@@ -380,6 +392,7 @@ def flash_attention_splitkv_partial(
         seq_len_kv=lkv,
         causal=causal,
         has_offsets=has_offsets,
+        static_positions=static_positions,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),

@@ -43,19 +43,71 @@ def flash_attention(
 ) -> jax.Array:
     """Differentiable fused attention (Pallas forward, recompute backward).
 
-    ``positions=(q_pos0, kv_pos0)``: traced int32 global positions of row 0
-    of the q / kv shards for causal masking; defaults to the decode
-    convention (q rows are the last Lq positions)."""
+    ``positions=(q_pos0, kv_pos0)``: global positions of row 0 of the q /
+    kv shards for causal masking; defaults to the decode convention (q rows
+    are the last Lq positions).  Plain-int positions (or the default) are
+    baked in at trace time, which lets the forward kernel skip causal MXU
+    work statically; traced positions (sequence-parallel shards) take the
+    dynamic-masking path."""
     lq, lkv = q.shape[2], k.shape[2]
     if positions is None:
-        q_pos0 = jnp.int32(lkv - lq)
-        kv_pos0 = jnp.int32(0)
-    else:
-        q_pos0, kv_pos0 = (jnp.asarray(p, jnp.int32) for p in positions)
+        positions = (lkv - lq, 0)
+    if all(isinstance(p, (int, np.integer)) for p in positions):
+        return _flash_attention_static(
+            q, k, v, config, scale, causal, interpret,
+            (int(positions[0]), int(positions[1])),
+        )
+    q_pos0, kv_pos0 = (jnp.asarray(p, jnp.int32) for p in positions)
     return _flash_attention(
         q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret
     )
 
+
+# ---- static-positions variant (positions are compile-time constants) ----
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_static(
+    q, k, v, config, scale, causal, interpret, static_positions
+):
+    out, _ = _fwd_static(
+        q, k, v, config, scale, causal, interpret, static_positions
+    )
+    return out
+
+
+def _fwd_static(q, k, v, config, scale, causal, interpret, static_positions):
+    # local import: parallel.partials itself imports from ops (avoid cycle)
+    from exploring_flash_attention_tpu.parallel.partials import (
+        attention_partial_local,
+    )
+
+    o, lse = attention_partial_local(
+        q, k, v, config=config, scale=scale, causal=causal,
+        interpret=interpret,
+        static_positions=static_positions if causal else None,
+    )
+    out = o.astype(q.dtype)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd_static(config, scale, causal, interpret, static_positions, res, g):
+    from exploring_flash_attention_tpu.ops.attention_bwd import (
+        flash_attention_bwd,
+    )
+
+    q, k, v, out, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, g, lse,
+        config=config, scale=scale, causal=causal, interpret=interpret,
+        positions=tuple(jnp.int32(p) for p in static_positions),
+    )
+    return dq, dk, dv
+
+
+_flash_attention_static.defvjp(_fwd_static, _bwd_static)
+
+
+# ---- traced-positions variant (sequence-parallel shard offsets) ----
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_attention(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret):
@@ -64,7 +116,6 @@ def _flash_attention(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret)
 
 
 def _fwd(q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret):
-    # local import: parallel.partials itself imports from ops (avoid cycle)
     from exploring_flash_attention_tpu.parallel.partials import (
         attention_partial_local,
     )

@@ -33,11 +33,14 @@ def attention_partial_local(
     interpret: Optional[bool] = None,
     causal: bool = False,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
+    static_positions: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized partial attention over a local KV shard.
 
     Returns (o_partial [B,H,Lq,d] f32, lse [B,H,Lq] f32).  For causal
-    shards at traced global offsets, pass ``positions=(q_pos0, kv_pos0)``."""
+    shards at traced global offsets, pass ``positions=(q_pos0, kv_pos0)``;
+    offsets known at trace time go in ``static_positions`` instead (enables
+    trace-time causal FLOP skipping)."""
     lkv = k.shape[2]
     block_kv = min(config.block_kv, max(lkv, 8))
     cfg = SplitKVConfig(
@@ -50,6 +53,7 @@ def attention_partial_local(
     o_p, lse = flash_attention_splitkv_partial(
         q, k, v, config=cfg, scale=scale, interpret=interpret,
         causal=causal, positions=positions,
+        static_positions=static_positions,
     )
     return o_p[:, :, 0], lse[:, :, 0]
 
