@@ -43,6 +43,7 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
     NEG_INF,
     _resolve_interpret,
     dot_precision,
+    fits_onepass,
 )
 
 LOG2E = math.log2(math.e)
@@ -253,6 +254,250 @@ def _dq_kernel(
         dq_ref[0] = dq_acc[...].astype(out_dtype)
 
 
+def _dkv_onepass_kernel(
+    q_ref, k_ref, v_ref, do_ref,   # (1,Lq,d), (1,BK,d), (1,BK,d), (1,Lq,d)
+    lse_ref, delta_ref,            # (1, 8, Lq) f32
+    offs_ref,                      # SMEM (1, 2) int32
+    dk_ref, dv_ref,                # out blocks (1, BK, d)
+    dk_acc, dv_acc,                # scratch (BK, d) f32
+    *,
+    scale: float,
+    q_strip: int,
+    block_kv: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    out_dtype,
+):
+    """One-pass dK/dV: the whole Q/dO sequence is VMEM-resident, processed
+    in strips — no per-Q-tile grid steps, Q/dO read from HBM once per KV
+    tile instead of once per (KV, Q) pair, and strip t+1's matmuls overlap
+    strip t's VPU work (the bwd analog of the one-pass forward)."""
+    kv_start = pl.program_id(1) * block_kv
+    k = _zero_pad_rows(k_ref[0], seq_len_kv, block_kv, kv_start)
+    v = _zero_pad_rows(v_ref[0], seq_len_kv, block_kv, kv_start)
+    c = scale * LOG2E
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    for q0 in range(0, seq_len_q, q_strip):
+        rows = min(q_strip, seq_len_q - q0)
+        if causal:
+            # strip contributes iff any (row, col) pair is visible
+            visible = (kv_start + offs_ref[0, 1]) <= (
+                q0 + rows - 1 + offs_ref[0, 0]
+            )
+        else:
+            visible = True
+
+        @pl.when(visible)
+        def _strip(q0=q0, rows=rows):
+            q = q_ref[0, q0:q0 + rows, :]
+            do = do_ref[0, q0:q0 + rows, :]
+            lse_row = lse_ref[0, 0, q0:q0 + rows][:, None]
+            delta_row = delta_ref[0, 0, q0:q0 + rows][:, None]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k),
+            )
+            arg = s * c - lse_row * LOG2E
+            if causal:
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, block_kv), 0)
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, block_kv), 1)
+                mask = (col + kv_start + offs_ref[0, 1]) <= (
+                    row + q0 + offs_ref[0, 0])
+                arg = jnp.where(mask, arg, NEG_INF)
+            arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
+            p = jnp.exp2(arg)
+
+            p_lp = p.astype(q.dtype)
+            dv_acc[...] += jax.lax.dot_general(
+                p_lp, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do),
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do, v),
+            )
+            ds = (p * (dp - delta_row) * scale).astype(q.dtype)
+            dk_acc[...] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q),
+            )
+
+    dk_ref[0] = dk_acc[...].astype(out_dtype)
+    dv_ref[0] = dv_acc[...].astype(out_dtype)
+
+
+def _dq_onepass_kernel(
+    q_ref, k_ref, v_ref, do_ref,   # (1,BQ,d), (1,Lkv,d), (1,Lkv,d), (1,BQ,d)
+    lse_ref, delta_ref,            # (1, 8, BQ) f32
+    offs_ref,
+    dq_ref,                        # out (1, BQ, d)
+    dq_acc,                        # scratch (BQ, d) f32
+    *,
+    scale: float,
+    kv_strip: int,
+    block_q: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    out_dtype,
+):
+    """One-pass dQ: the whole K/V sequence is VMEM-resident, processed in
+    strips with the Q tile's (lse, delta) loaded once."""
+    q_start = pl.program_id(1) * block_q
+    q = _zero_pad_rows(q_ref[0], seq_len_q, block_q, q_start)
+    do = _zero_pad_rows(do_ref[0], seq_len_q, block_q, q_start)
+    lse_row = lse_ref[0, 0, :][:, None]
+    delta_row = delta_ref[0, 0, :][:, None]
+    c = scale * LOG2E
+
+    dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    for k0 in range(0, seq_len_kv, kv_strip):
+        cols = min(kv_strip, seq_len_kv - k0)
+        if causal:
+            visible = (k0 + offs_ref[0, 1]) <= (
+                q_start + block_q - 1 + offs_ref[0, 0]
+            )
+        else:
+            visible = True
+
+        @pl.when(visible)
+        def _strip(k0=k0, cols=cols):
+            k = k_ref[0, k0:k0 + cols, :]
+            v = v_ref[0, k0:k0 + cols, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k),
+            )
+            arg = s * c - lse_row * LOG2E
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, cols), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, cols), 1)
+                mask = (col + k0 + offs_ref[0, 1]) <= (
+                    row + q_start + offs_ref[0, 0])
+                arg = jnp.where(mask, arg, NEG_INF)
+            arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
+            p = jnp.exp2(arg)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do, v),
+            )
+            ds = (p * (dp - delta_row) * scale).astype(q.dtype)
+            dq_acc[...] += jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k),
+            )
+
+    dq_ref[0] = dq_acc[...].astype(out_dtype)
+
+
+def _fused_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref,   # (1, Lq, d), (1, Lkv, d) x2, (1, Lq, d)
+    lse_ref, delta_ref,            # (1, 8, Lq) f32
+    offs_ref,                      # SMEM (1, 2) int32
+    dq_ref, dk_ref, dv_ref,        # out (1, Lq, d), (1, Lkv, d) x2
+    dq_acc, dk_acc, dv_acc,        # scratch f32 full-size
+    *,
+    scale: float,
+    q_strip: int,
+    kv_strip: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    causal: bool,
+    q_dtype,
+    k_dtype,
+    v_dtype,
+):
+    """Fused one-pass backward: one program per (b, h) with Q/K/V/dO fully
+    VMEM-resident computes dQ, dK and dV together, sharing the S and dP
+    recomputation between them — 5 tile matmuls per (q-strip, kv-strip)
+    pair instead of the 7 of the split dQ/dKV kernels, plus exact static
+    causal pair skipping."""
+    c = scale * LOG2E
+    q_pos0 = offs_ref[0, 0]
+    kv_pos0 = offs_ref[0, 1]
+
+    dq_acc[...] = jnp.zeros_like(dq_acc)
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    for k0 in range(0, seq_len_kv, kv_strip):
+        cols = min(kv_strip, seq_len_kv - k0)
+        k = k_ref[0, k0:k0 + cols, :]
+        v = v_ref[0, k0:k0 + cols, :]
+        for q0 in range(0, seq_len_q, q_strip):
+            rows = min(q_strip, seq_len_q - q0)
+            if causal:
+                visible = (k0 + offs_ref[0, 1]) <= (
+                    q0 + rows - 1 + offs_ref[0, 0])
+            else:
+                visible = True
+
+            @pl.when(visible)
+            def _pair(q0=q0, rows=rows, k0=k0, cols=cols, k=k, v=v):
+                q = q_ref[0, q0:q0 + rows, :]
+                do = do_ref[0, q0:q0 + rows, :]
+                lse_row = lse_ref[0, 0, q0:q0 + rows][:, None]
+                delta_row = delta_ref[0, 0, q0:q0 + rows][:, None]
+
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k),
+                )
+                arg = s * c - lse_row * LOG2E
+                if causal:
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, cols), 0)
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, cols), 1)
+                    cm = (col + k0 + kv_pos0) <= (row + q0 + q_pos0)
+                    arg = jnp.where(cm, arg, NEG_INF)
+                arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
+                p = jnp.exp2(arg)
+
+                p_lp = p.astype(q.dtype)
+                dv_acc[k0:k0 + cols, :] += jax.lax.dot_general(
+                    p_lp, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(do),
+                )
+                dp = jax.lax.dot_general(
+                    do, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(do, v),
+                )
+                ds = (p * (dp - delta_row) * scale).astype(q.dtype)
+                dk_acc[k0:k0 + cols, :] += jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q),
+                )
+                dq_acc[q0:q0 + rows, :] += jax.lax.dot_general(
+                    ds, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(k),
+                )
+
+    dq_ref[0] = dq_acc[...].astype(q_dtype)
+    dk_ref[0] = dk_acc[...].astype(k_dtype)
+    dv_ref[0] = dv_acc[...].astype(v_dtype)
+
+
 def _pad_stats(x: jax.Array, n_bh: int, l: int) -> jax.Array:
     """[B,H,L] f32 -> (n_bh, 8, L) with the stats broadcast over a padded
     8-sublane dim (TPU (8, 128) tiling rule for 2D blocks)."""
@@ -305,6 +550,129 @@ def flash_attention_bwd(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )                                              # [B, H, Lq]
     deltaf = _pad_stats(delta, n_bh, lq)
+
+    # ---- fused fast path: everything (incl. f32 grads) VMEM-resident ----
+    # VMEM budget ~ 4 inputs (bf16) + 3 f32 accumulators + 3 outputs; cap
+    # at half the one-pass forward budget.
+    if (fits_onepass(2 * lq, d) and fits_onepass(2 * lkv, d)
+            and lq % 8 == 0 and lkv % 8 == 0):
+        fused_kernel = functools.partial(
+            _fused_bwd_kernel,
+            scale=scale,
+            q_strip=min(256, lq),
+            kv_strip=min(512, lkv),
+            seq_len_q=lq, seq_len_kv=lkv, causal=causal,
+            q_dtype=q.dtype, k_dtype=k.dtype, v_dtype=v.dtype,
+        )
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(n_bh,),
+            in_specs=[
+                pl.BlockSpec((1, lq, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lq, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, 8, lq), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, 8, lq), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, 2), lambda bh: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, lq, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bh, lq, d), q.dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((lq, d), jnp.float32),
+                pltpu.VMEM((lkv, d), jnp.float32),
+                pltpu.VMEM((lkv, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interp,
+        )(qf, kf, vf, dof, lsef, deltaf, offs)
+        return (
+            dq.reshape(b, h, lq, d),
+            dk.reshape(b, h, lkv, d),
+            dv.reshape(b, h, lkv, d),
+        )
+
+    # ---- one-pass fast path: whole sequences VMEM-resident ----
+    if fits_onepass(lq, d) and fits_onepass(lkv, d):
+        dkv_kernel = functools.partial(
+            _dkv_onepass_kernel,
+            scale=scale, q_strip=min(256, max(lq, 8)), block_kv=block_kv,
+            seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=k.dtype,
+        )
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(n_bh, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, lq, d), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, lq, d), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, 8, lq), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, 8, lq), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, 2), lambda bh, ki: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, d), jnp.float32),
+                pltpu.VMEM((block_kv, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interp,
+        )(qf, kf, vf, dof, lsef, deltaf, offs)
+
+        dq_kernel = functools.partial(
+            _dq_onepass_kernel,
+            scale=scale, kv_strip=min(512, max(lkv, 8)), block_q=block_q,
+            seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=q.dtype,
+        )
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(n_bh, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+                pl.BlockSpec((1, 2), lambda bh, qi: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interp,
+        )(qf, kf, vf, dof, lsef, deltaf, offs)
+        return (
+            dq.reshape(b, h, lq, d),
+            dk.reshape(b, h, lkv, d),
+            dv.reshape(b, h, lkv, d),
+        )
 
     stats_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, i, j: (bh, 0, i))
     offs_spec = pl.BlockSpec(
