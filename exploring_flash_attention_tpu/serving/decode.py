@@ -5,8 +5,14 @@ KV history.  This is the reference's split-KV V2 forward specialized to
 Lq=1 and lifted onto the paged cache: the KV "tiles" are pages found
 through the page table (scalar-prefetched so DMA addresses are known ahead
 of the loop — PrefetchScalarGridSpec, the pattern SURVEY §7 flags for
-paged gather), streamed HBM->VMEM with double buffering, and folded into
-the online-softmax state.
+paged gather), streamed HBM->VMEM with a 4-deep prefetch window, and
+folded into the online-softmax state.
+
+Grid = one program per sequence: the page-major cache layout
+([n_pages, Hkv, ps, d], serving/kv_cache.py) makes one page index a single
+contiguous (Hkv, ps, d) DMA carrying every head — 8x fewer, 8x larger
+transfers than a head-major layout, which matters because decode is
+DMA-latency-bound (per-page compute is trivial).
 
 Fused INT8 dequant with per-token scales:
   - K: scores S = (q K_page^T) * softmax_scale, then S *= k_scale[col]
@@ -36,31 +42,33 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
 )
 from exploring_flash_attention_tpu.serving.kv_cache import PagedKVCache
 
+N_BUF = 4          # prefetch window depth (pages in flight per stream)
+
 
 def _decode_kernel(
     # scalar prefetch
     pt_ref,                      # int32 [B * max_pages] flattened page table
     sl_ref,                      # int32 [B] sequence lengths
     # tensor inputs
-    q_ref,                       # VMEM (1, 1, G, d)
-    kp_ref, vp_ref,              # ANY [Hkv, n_pages, ps, d] int8
-    ks_ref, vs_ref,              # ANY [Hkv, n_pages, 1, ps] f32
+    q_ref,                       # VMEM (1, Hkv, G, d)
+    kp_ref, vp_ref,              # ANY [n_pages, Hkv, ps, d] int8
+    ks_ref, vs_ref,              # ANY [n_pages, Hkv, 1, ps] f32
     # output
-    o_ref,                       # VMEM (1, 1, G, d)
+    o_ref,                       # VMEM (1, Hkv, G, d)
     # scratch
-    k_buf, v_buf,                # VMEM (2, ps, d) int8
-    ksb, vsb,                    # VMEM (2, 1, ps) f32
-    sems,                        # DMA (4, 2)
+    k_buf, v_buf,                # VMEM (N_BUF, Hkv, ps, d) int8
+    ksb, vsb,                    # VMEM (N_BUF, Hkv, 1, ps) f32
+    sems,                        # DMA (4, N_BUF)
     *,
     scale: float,
     page_size: int,
     max_pages: int,
+    num_kv_heads: int,
     group: int,
     head_dim: int,
     compute_dtype,
 ):
     b = pl.program_id(0)
-    kh = pl.program_id(1)
     seq_len = sl_ref[b]
     n_pages = jax.lax.div(seq_len + page_size - 1, page_size)
 
@@ -68,48 +76,65 @@ def _decode_kernel(
         page_id = pt_ref[b * max_pages + i]
         return [
             pltpu.make_async_copy(
-                kp_ref.at[kh, page_id], k_buf.at[slot], sems.at[0, slot]
+                kp_ref.at[page_id], k_buf.at[slot], sems.at[0, slot]
             ),
             pltpu.make_async_copy(
-                vp_ref.at[kh, page_id], v_buf.at[slot], sems.at[1, slot]
+                vp_ref.at[page_id], v_buf.at[slot], sems.at[1, slot]
             ),
             pltpu.make_async_copy(
-                ks_ref.at[kh, page_id], ksb.at[slot], sems.at[2, slot]
+                ks_ref.at[page_id], ksb.at[slot], sems.at[2, slot]
             ),
             pltpu.make_async_copy(
-                vs_ref.at[kh, page_id], vsb.at[slot], sems.at[3, slot]
+                vs_ref.at[page_id], vsb.at[slot], sems.at[3, slot]
             ),
         ]
 
-    @pl.when(n_pages > 0)
-    def _start_first():
-        for d_ in dma(0, 0):
-            d_.start()
+    # fill the prefetch window (decode is DMA-latency-bound; keep N_BUF
+    # page transfers in flight — guide: "start all page DMAs concurrently")
+    for w in range(N_BUF):
+        @pl.when(w < n_pages)
+        def _start(w=w):
+            for d_ in dma(w, w):
+                d_.start()
 
-    q = q_ref[0, 0]                                    # (G, d)
+    q = q_ref[0]                                       # (Hkv, G, d)
 
     def page_step(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < n_pages)
-        def _prefetch():
-            for d_ in dma(nxt, i + 1):
-                d_.start()
+        m, l, acc = carry                      # (Hkv*G, 1) x2, (Hkv*G, d)
+        slot = jax.lax.rem(i, N_BUF)
 
         for d_ in dma(slot, i):
             d_.wait()
 
-        k_page = k_buf[slot].astype(compute_dtype)     # (ps, d)
-        s = jax.lax.dot_general(
-            q, k_page, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s *= scale
-        s = s * ksb[slot]                              # (1, ps) column scales
-        # mask positions beyond seq_len (last, partial page)
-        col = jax.lax.broadcasted_iota(jnp.int32, (group, page_size), 1)
+        # read everything out of the slot BEFORE re-targeting its DMA
+        k_scale = ksb[slot][:, 0, :]                   # (Hkv, ps)
+        v_scale = vsb[slot][:, 0, :]
+        # per-head scores assembled from per-head MXU dots
+        s_heads = [
+            jax.lax.dot_general(
+                q[kh], k_buf[slot, kh].astype(compute_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for kh in range(num_kv_heads)
+        ]                                              # each (G, ps)
+        v_heads = [v_buf[slot, kh].astype(compute_dtype)
+                   for kh in range(num_kv_heads)]
+
+        # slot fully read — start its next transfer while we compute
+        @pl.when(i + N_BUF < n_pages)
+        def _prefetch():
+            for d_ in dma(slot, i + N_BUF):
+                d_.start()
+
+        s = jnp.concatenate(s_heads, axis=0)           # (Hkv*G, ps)
+        ks_b = (jnp.repeat(k_scale, group, axis=0)
+                if group > 1 else k_scale)
+        vs_b = (jnp.repeat(v_scale, group, axis=0)
+                if group > 1 else v_scale)
+        s = s * scale * ks_b
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads * group, page_size), 1)
         s = jnp.where(col + i * page_size < seq_len, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -117,22 +142,28 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)
         p = jnp.where(jnp.isneginf(s), 0.0, p)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        p = p * vsb[slot]                              # fold V scales into P
-        v_page = v_buf[slot].astype(compute_dtype)
-        pv = jax.lax.dot_general(
-            p.astype(compute_dtype), v_page, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        p = p * vs_b                                   # fold V scales into P
+        p_lp = p.astype(compute_dtype)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p_lp[kh * group:(kh + 1) * group], v_heads[kh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for kh in range(num_kv_heads)
+        ], axis=0)                                     # (Hkv*G, d)
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    m0 = jnp.full((group, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((group, 1), jnp.float32)
-    acc0 = jnp.zeros((group, head_dim), jnp.float32)
+    hg = num_kv_heads * group
+    m0 = jnp.full((hg, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hg, 1), jnp.float32)
+    acc0 = jnp.zeros((hg, head_dim), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_pages, page_step, (m0, l0, acc0))
 
     denom = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
+    o_ref[0] = (acc / denom).reshape(
+        num_kv_heads, group, head_dim).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -165,31 +196,30 @@ def paged_decode_attention(
         scale=scale,
         page_size=ps,
         max_pages=max_pages,
+        num_kv_heads=hkv,
         group=group,
         head_dim=d,
         compute_dtype=q.dtype if q.dtype != jnp.float32 else jnp.float32,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, group, d), lambda b_, kh, *refs: (b_, kh, 0, 0)
-            ),
+            pl.BlockSpec((1, hkv, group, d), lambda b_, *refs: (b_, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, group, d), lambda b_, kh, *refs: (b_, kh, 0, 0)
+            (1, hkv, group, d), lambda b_, *refs: (b_, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, d), cache.k_pages.dtype),
-            pltpu.VMEM((2, ps, d), cache.v_pages.dtype),
-            pltpu.VMEM((2, 1, ps), jnp.float32),
-            pltpu.VMEM((2, 1, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.VMEM((N_BUF, hkv, ps, d), cache.k_pages.dtype),
+            pltpu.VMEM((N_BUF, hkv, ps, d), cache.v_pages.dtype),
+            pltpu.VMEM((N_BUF, hkv, 1, ps), jnp.float32),
+            pltpu.VMEM((N_BUF, hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, N_BUF)),
         ],
     )
     out = pl.pallas_call(
@@ -197,7 +227,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=_resolve_interpret(interpret),
     )(pt, sl, qg, cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales)
