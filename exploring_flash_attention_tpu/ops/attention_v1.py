@@ -112,51 +112,18 @@ def _v1_kernel(
     else:
         tile_visible = True
 
+    # The tile is processed in q-strips so strip t+1's S matmul can overlap
+    # strip t's VPU softmax/state update (the one-pass kernel's structure
+    # applied to the streaming case).  Statistics live in the exp2 basis
+    # with the softmax scale pre-folded (m2 = max(s)*scale*log2e), so the
+    # per-element work per strip is one fused multiply-subtract + exp2.
+    c = scale * LOG2E
+    needs_kv_mask = seq_len_kv % block_kv != 0
+    q_strip = min(ONEPASS_Q_CHUNK, block_q)
+
     @pl.when(tile_visible)
     def _tile():
-        q = q_ref[0]
         k = k_ref[0]
-        # S = Q K^T * scale on the MXU, f32 accumulate (reference
-        # mat_mul_scaled_basic, flash_attention_v1.h:51-66).
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(q, k),
-        )
-        s *= scale
-
-        # Mask padded KV columns (ragged L_kv) and/or the causal triangle.
-        needs_kv_mask = seq_len_kv % block_kv != 0
-        if needs_kv_mask or causal:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            col = col + kv_idx * block_kv
-            mask = None
-            if needs_kv_mask:
-                mask = col < seq_len_kv
-            if causal:
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0
-                )
-                row = row + q_idx * block_q
-                cmask = col <= row + (seq_len_kv - seq_len_q)
-                mask = cmask if mask is None else jnp.logical_and(mask, cmask)
-            s = jnp.where(mask, s, NEG_INF)
-
-        # Online-softmax state update (the process_kv_tile contract,
-        # sim/tile_loop.py:process_kv_tile).
-        m_prev = m_ref[...]                                 # (BQ, 128)
-        m_cur = jnp.max(s, axis=1, keepdims=True)           # (BQ, 1)
-        m_new = jnp.maximum(m_prev, m_cur)                  # broadcast lanes
-        alpha = jnp.exp(m_prev - m_new)                     # (BQ, 128)
-        # guard: fully-masked row keeps m = -inf; exp(-inf - -inf) -> use 0
-        alpha = jnp.where(jnp.isneginf(m_new), 0.0, alpha)
-        p = jnp.exp(s - m_new[:, :1])                       # (BQ, BK) f32
-        if causal or needs_kv_mask:
-            p = jnp.where(jnp.isneginf(s), 0.0, p)          # kill -inf nans
-
-        m_ref[...] = m_new
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-
         v = v_ref[0]
         if needs_kv_mask:
             # padded V rows hold undefined values (NaN under interpret);
@@ -164,13 +131,61 @@ def _v1_kernel(
             vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
             vrow = vrow + kv_idx * block_kv
             v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
-        # P @ V with P cast to storage dtype for full MXU rate (the
-        # reference's half exp_S path, flash_attention_v1.h:148-156).
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=dot_precision(v),
-        )
-        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+        for q0 in range(0, block_q, q_strip):
+            rows = min(q_strip, block_q - q0)
+            q = q_ref[0, q0:q0 + rows, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k),
+            )
+
+            # Mask padded KV columns (ragged L_kv) / the causal triangle.
+            mask = None
+            if needs_kv_mask or causal:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, block_kv), 1)
+                col = col + kv_idx * block_kv
+                if needs_kv_mask:
+                    mask = col < seq_len_kv
+                if causal:
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, block_kv), 0)
+                    row = row + q_idx * block_q + q0
+                    cmask = col <= row + (seq_len_kv - seq_len_q)
+                    mask = (cmask if mask is None
+                            else jnp.logical_and(mask, cmask))
+
+            # Online-softmax update in the exp2 basis (the process_kv_tile
+            # contract, sim/tile_loop.py:process_kv_tile).
+            m_prev = m_ref[q0:q0 + rows, :]                 # (rows, 128)
+            m_cur = jnp.max(s, axis=1, keepdims=True) * c   # (rows, 1)
+            if mask is not None:
+                s_c = jnp.where(mask, s * c, NEG_INF)
+                m_cur = jnp.max(s_c, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)
+            alpha = jnp.where(jnp.isneginf(m_new), 0.0, alpha)
+            if mask is not None:
+                arg = jnp.where(mask, s * c - m_new[:, :1], NEG_INF)
+            else:
+                arg = s * c - m_new[:, :1]
+            p = jnp.exp2(arg)                               # (rows, BK)
+
+            m_ref[q0:q0 + rows, :] = m_new
+            l_ref[q0:q0 + rows, :] = (
+                l_ref[q0:q0 + rows, :] * alpha
+                + jnp.sum(p, axis=1, keepdims=True)
+            )
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v),
+            )
+            acc_ref[q0:q0 + rows, :] = (
+                acc_ref[q0:q0 + rows, :] * alpha[:, :1] + pv
+            )
 
     @pl.when(kv_idx == n_kv - 1)
     def _finalize():
