@@ -367,8 +367,16 @@ def main(argv):
             }))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    # merge with prior runs so partial invocations don't clobber the table
+    merged = {}
+    try:
+        with open(out) as f:
+            merged = {r["metric"]: r for r in json.load(f)}
+    except (OSError, ValueError):
+        pass
+    merged.update({r["metric"]: r for r in RESULTS})
     with open(out, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
     print(f"# suite done in {time.time()-t0:.0f}s -> {out}"
           + (f"; FAILED: {failed}" if failed else ""), file=sys.stderr)
     return 1 if failed else 0

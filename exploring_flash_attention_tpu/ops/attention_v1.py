@@ -54,12 +54,14 @@ ONEPASS_MAX_KV = 4096
 ONEPASS_MAX_KV_ELEMS = ONEPASS_MAX_KV * 128
 
 
-def fits_onepass(lkv: int, d: int) -> bool:
-    return lkv * d <= ONEPASS_MAX_KV_ELEMS
 # Rows of scores processed per inner step — small enough that the Mosaic
 # scheduler can overlap one chunk's VPU softmax with the next chunk's MXU
 # matmul (measured optimum on v5e; see scripts/proto_onepass*.py sweeps).
 ONEPASS_Q_CHUNK = 256
+
+
+def fits_onepass(lkv: int, d: int) -> bool:
+    return lkv * d <= ONEPASS_MAX_KV_ELEMS
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
