@@ -1,3 +1,7 @@
+from exploring_flash_attention_tpu.models.generate import (
+    GenerationEngine,
+    forward_collect_kv,
+)
 from exploring_flash_attention_tpu.models.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
@@ -20,4 +24,6 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
+    "GenerationEngine",
+    "forward_collect_kv",
 ]

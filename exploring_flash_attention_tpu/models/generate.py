@@ -1,0 +1,213 @@
+"""End-to-end LM inference engine: prefill → paged INT8 KV-cache → decode.
+
+Ties the flagship transformer to the serving stack (the reference has no
+serving; this is the BASELINE north-star path "split-KV decode over the
+INT8 paged cache with continuous batching"):
+
+- :func:`prefill` runs the training forward over the prompt (every
+  attention call the Pallas one-pass/streaming kernel) while collecting
+  each layer's K/V, then quantizes them into per-layer paged caches;
+- :func:`decode_step` advances all sequences one token: single-token QKV
+  projections, functional cache append, the paged flash-decoding kernel
+  per layer, sampling (greedy or temperature);
+- :class:`GenerationEngine` owns the per-layer caches + page allocation
+  and exposes ``generate()``.
+
+The model uses no positional encoding beyond causality (NoPE), so decode
+needs no position bookkeeping besides the cache lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exploring_flash_attention_tpu.configs import cdiv
+from exploring_flash_attention_tpu.models.transformer import (
+    ModelConfig,
+    Params,
+    _mlp_block,
+    _rmsnorm,
+)
+from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
+from exploring_flash_attention_tpu.serving.decode import (
+    paged_decode_attention,
+)
+from exploring_flash_attention_tpu.serving.kv_cache import (
+    PagedKVCache,
+    PageAllocator,
+    append_prompt,
+    append_tokens,
+    make_cache,
+)
+
+
+def forward_collect_kv(
+    params: Params,
+    tokens: jax.Array,             # [B, L] int32
+    config: ModelConfig,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+    """Causal forward returning (logits [B, L, V], per-layer (k, v) in
+    cache layout [B, L, Hkv, d])."""
+    c = config
+    x = params["embed"][tokens].astype(c.dtype)
+    kvs = []
+    for p in params["layers"]:
+        h = _rmsnorm(x, p["ln1"], c.norm_eps)
+        q = jnp.einsum("ble,ehd->bhld", h, p["wq"])
+        k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
+        v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
+        kvs.append((k, v))                           # [B, Hkv, L, d]
+        rep = q.shape[1] // k.shape[1]
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        o = flash_attention(
+            q, k, v, config=c.tile, causal=True, interpret=interpret
+        )
+        x = x + jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
+        x = x + _mlp_block(p, x, c, None)
+    x = _rmsnorm(x, params["ln_f"], c.norm_eps)
+    logits = jnp.einsum(
+        "ble,ve->blv", x, params["embed"].astype(c.dtype)
+    ).astype(jnp.float32)
+    return logits, [(k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+                    for (k, v) in kvs]
+
+
+def _decode_forward(
+    params: Params,
+    tokens: jax.Array,             # [B] int32 — last sampled token per seq
+    caches: List[PagedKVCache],
+    slots: jax.Array,              # [B] int32
+    config: ModelConfig,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, List[PagedKVCache]]:
+    """One decode step: returns (logits [B, V], updated caches)."""
+    c = config
+    x = params["embed"][tokens].astype(c.dtype)          # [B, E]
+    new_caches = []
+    for p, cache in zip(params["layers"], caches):
+        h = _rmsnorm(x, p["ln1"], c.norm_eps)
+        q = jnp.einsum("be,ehd->bhd", h, p["wq"])        # [B, Hq, d]
+        k = jnp.einsum("be,ehd->bhd", h, p["wk"])        # [B, Hkv, d]
+        v = jnp.einsum("be,ehd->bhd", h, p["wv"])
+        cache = append_tokens(cache, slots, k, v)
+        o = paged_decode_attention(
+            q, cache, slots, interpret=interpret
+        )                                                 # [B, Hq, d]
+        x = x + jnp.einsum(
+            "bhd,hde->be", o.astype(x.dtype), p["wo"]
+        )
+        x2 = x[:, None, :]                                # [B, 1, E]
+        x = (x2 + _mlp_block(p, x2, c, None))[:, 0]
+        new_caches.append(cache)
+    xf = _rmsnorm(x, params["ln_f"], c.norm_eps)
+    logits = jnp.einsum(
+        "be,ve->bv", xf, params["embed"].astype(c.dtype)
+    ).astype(jnp.float32)
+    return logits, new_caches
+
+
+def sample(
+    logits: jax.Array,             # [B, V]
+    rng: jax.Array,
+    temperature: float = 0.0,
+) -> jax.Array:
+    """Greedy (temperature 0) or temperature sampling -> [B] int32."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        rng, logits / temperature, axis=-1
+    ).astype(jnp.int32)
+
+
+class GenerationEngine:
+    """Batch text generation over per-layer paged INT8 KV-caches."""
+
+    def __init__(
+        self,
+        params: Params,
+        config: ModelConfig,
+        max_seqs: int = 8,
+        max_len: int = 2048,
+        page_size: int = 128,
+        interpret: Optional[bool] = None,
+    ):
+        self.params = params
+        self.config = config
+        self.interpret = interpret
+        self.page_size = page_size
+        pages_per_seq = cdiv(max_len, page_size)
+        n_pages = max_seqs * pages_per_seq
+        self.caches = [
+            make_cache(
+                config.n_kv_heads, config.d_head, n_pages,
+                page_size=page_size, max_seqs=max_seqs,
+                max_pages_per_seq=pages_per_seq,
+            )
+            for _ in range(config.n_layers)
+        ]
+        # all layers share one page map (identical table per layer)
+        self.allocator = PageAllocator(n_pages)
+        self.max_seqs = max_seqs
+        self.pages_per_seq = pages_per_seq
+
+    def _map_slots(self, bsz: int) -> jax.Array:
+        # one page map shared by every layer's cache (layers use the same
+        # slot/page geometry; tables are kept identical)
+        for s in range(bsz):
+            pages = jnp.asarray(
+                self.allocator.alloc(self.pages_per_seq), jnp.int32
+            )
+            for i, cache in enumerate(self.caches):
+                self.caches[i] = dataclasses.replace(
+                    cache,
+                    page_table=cache.page_table.at[s, :len(pages)].set(pages),
+                    seq_lens=cache.seq_lens.at[s].set(0),
+                )
+        return jnp.arange(bsz, dtype=jnp.int32)
+
+    def generate(
+        self,
+        prompt: jax.Array,          # [B, L_prompt] int32
+        max_new_tokens: int,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Returns generated tokens [B, max_new_tokens] (int32)."""
+        bsz, l_prompt = prompt.shape
+        if bsz > self.max_seqs:
+            raise ValueError(f"batch {bsz} > max_seqs {self.max_seqs}")
+        slots = self._map_slots(bsz)
+
+        # ---- prefill: full forward + quantized cache population ----
+        logits, kvs = forward_collect_kv(
+            self.params, prompt, self.config, interpret=self.interpret
+        )
+        for li, (k, v) in enumerate(kvs):
+            for s in range(bsz):
+                self.caches[li] = append_prompt(
+                    self.caches[li], s, k[s], v[s]
+                )
+
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        tok = sample(logits[:, -1, :], sub, temperature)   # first new token
+
+        # ---- decode loop ----
+        out = [np.asarray(tok)]
+        for _ in range(max_new_tokens - 1):
+            logits, self.caches = _decode_forward(
+                self.params, tok, self.caches, slots, self.config,
+                interpret=self.interpret,
+            )
+            rng, sub = jax.random.split(rng)
+            tok = sample(logits, sub, temperature)
+            out.append(np.asarray(tok))
+        return np.stack(out, axis=1)

@@ -42,13 +42,16 @@ def attention_partial_local(
     offsets known at trace time go in ``static_positions`` instead (enables
     trace-time causal FLOP skipping)."""
     lkv = k.shape[2]
-    block_kv = min(config.block_kv, max(lkv, 8))
+    # the launcher clamps blocks to the actual lengths itself; keep the
+    # user's (validated, pow2) block sizes in the config and only size the
+    # span so one block covers the whole shard
+    block_kv_eff = min(config.block_kv, max(lkv, 8))
     cfg = SplitKVConfig(
         block_q=config.block_q,
-        block_kv=block_kv,
+        block_kv=config.block_kv,
         d_tile_qk=config.d_tile_qk,
         d_tile_v=config.d_tile_v,
-        kv_tiles_per_block=cdiv(lkv, block_kv),   # one block = whole shard
+        kv_tiles_per_block=cdiv(lkv, block_kv_eff),  # one block = shard
     )
     o_p, lse = flash_attention_splitkv_partial(
         q, k, v, config=cfg, scale=scale, interpret=interpret,
