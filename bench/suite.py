@@ -288,6 +288,40 @@ def bench_decode_tokens():
          f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages")
 
 
+def bench_generate_e2e():
+    """Whole-model generation throughput: ~65M-param flagship transformer
+    (4 layers, d_model 1024, GQA 8/4, d_head 128), B=8 sequences, 256-token
+    prompts, batched decode over the per-layer paged INT8 caches."""
+    import time as _time
+
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        GenerationEngine, ModelConfig, init_params,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16,
+        tile=TileConfig(block_q=512, block_kv=512),
+    )
+    params = init_params(cfg, seed=0)
+    bsz, l_prompt, n_new = 8, 256, 24
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (bsz, l_prompt)),
+        jnp.int32,
+    )
+    eng = GenerationEngine(params, cfg, max_seqs=bsz, max_len=1024)
+    eng.generate(prompt, max_new_tokens=n_new)        # compile + warm
+    t0 = _time.perf_counter()
+    out = eng.generate(prompt, max_new_tokens=n_new)
+    dt = _time.perf_counter() - t0
+    assert out.shape == (bsz, n_new)
+    emit("generate_e2e_tokens_per_sec", bsz * n_new / dt, "tokens/s", None,
+         f"{dt*1e3:.0f} ms for {bsz}x{n_new} tokens (incl prefill "
+         f"{l_prompt}; decode is one jitted lax.scan)")
+
+
 def bench_train_fwd_bwd():
     """Differentiable attention fwd+bwd at the canonical shape (7 tile
     matmuls in the backward + 2 forward => 4.5x forward FLOPs)."""
@@ -347,6 +381,7 @@ ALL = {
     "kvquant_int8": bench_kvquant_int8,
     "int8_qkv": bench_int8_qkv,
     "decode_tokens": bench_decode_tokens,
+    "generate_e2e": bench_generate_e2e,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "long_context": bench_long_context,
 }

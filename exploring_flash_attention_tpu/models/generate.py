@@ -20,6 +20,7 @@ needs no position bookkeeping besides the cache lengths.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -40,7 +41,7 @@ from exploring_flash_attention_tpu.serving.decode import (
 from exploring_flash_attention_tpu.serving.kv_cache import (
     PagedKVCache,
     PageAllocator,
-    append_prompt,
+    append_prompts,
     append_tokens,
     make_cache,
 )
@@ -157,14 +158,17 @@ class GenerationEngine:
         self.allocator = PageAllocator(n_pages)
         self.max_seqs = max_seqs
         self.pages_per_seq = pages_per_seq
+        self._loop_cache = {}
+        self._mapped_pages: List[int] = []
 
     def _map_slots(self, bsz: int) -> jax.Array:
         # one page map shared by every layer's cache (layers use the same
         # slot/page geometry; tables are kept identical)
+        self._mapped_pages = []
         for s in range(bsz):
-            pages = jnp.asarray(
-                self.allocator.alloc(self.pages_per_seq), jnp.int32
-            )
+            pages = self.allocator.alloc(self.pages_per_seq)
+            self._mapped_pages.extend(pages)
+            pages = jnp.asarray(pages, jnp.int32)
             for i, cache in enumerate(self.caches):
                 self.caches[i] = dataclasses.replace(
                     cache,
@@ -172,6 +176,10 @@ class GenerationEngine:
                     seq_lens=cache.seq_lens.at[s].set(0),
                 )
         return jnp.arange(bsz, dtype=jnp.int32)
+
+    def _release_slots(self) -> None:
+        self.allocator.free(self._mapped_pages)
+        self._mapped_pages = []
 
     def generate(
         self,
@@ -191,23 +199,46 @@ class GenerationEngine:
             self.params, prompt, self.config, interpret=self.interpret
         )
         for li, (k, v) in enumerate(kvs):
-            for s in range(bsz):
-                self.caches[li] = append_prompt(
-                    self.caches[li], s, k[s], v[s]
-                )
+            self.caches[li] = append_prompts(self.caches[li], slots, k, v)
 
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         tok = sample(logits[:, -1, :], sub, temperature)   # first new token
 
-        # ---- decode loop ----
-        out = [np.asarray(tok)]
-        for _ in range(max_new_tokens - 1):
-            logits, self.caches = _decode_forward(
-                self.params, tok, self.caches, slots, self.config,
-                interpret=self.interpret,
+        # ---- decode loop: one jitted lax.scan over steps (caches are the
+        # carry), so generation is a single device program — no per-token
+        # host round-trips ----
+        toks, self.caches = self._decode_loop(
+            max_new_tokens - 1, temperature
+        )(self.params, tok, tuple(self.caches), slots, rng)
+        self.caches = list(self.caches)
+        out = jnp.concatenate([tok[:, None], toks.T], axis=1)
+        self._release_slots()                   # engine is reusable
+        return np.asarray(out)
+
+    def _decode_loop(self, n_steps: int, temperature: float):
+        key = (n_steps, temperature)
+        fn = self._loop_cache.get(key)
+        if fn is not None:
+            return fn
+        config, interpret = self.config, self.interpret
+
+        @jax.jit
+        def run(params, tok0, caches, slots, rng):
+            def body(carry, _):
+                tok, caches, rng = carry
+                logits, caches = _decode_forward(
+                    params, tok, list(caches), slots, config,
+                    interpret=interpret,
+                )
+                rng, sub = jax.random.split(rng)
+                tok = sample(logits, sub, temperature)
+                return (tok, tuple(caches), rng), tok
+
+            (_, caches, _), toks = jax.lax.scan(
+                body, (tok0, caches, rng), None, length=n_steps
             )
-            rng, sub = jax.random.split(rng)
-            tok = sample(logits, sub, temperature)
-            out.append(np.asarray(tok))
-        return np.stack(out, axis=1)
+            return toks, caches             # toks: [n_steps, B]
+
+        self._loop_cache[key] = run
+        return run

@@ -23,6 +23,7 @@ XLA scatters so the cache arrays stay on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -185,6 +186,46 @@ def append_prompt(
     )
     return cache
 
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append_prompts(
+    cache: PagedKVCache,
+    seq_ids: jax.Array,          # int32 [B] cache slots (page tables mapped)
+    k_prompts: jax.Array,        # [B, L, Hkv, d] — same L for the batch
+    v_prompts: jax.Array,
+) -> PagedKVCache:
+    """Batched prefill append: quantize + scatter every sequence's prompt
+    K/V in one jitted call (the per-seq :func:`append_prompt` host loop
+    costs one device sync per call — this is the serving-path version).
+
+    Sequences must be empty (prompts start at position 0); ragged final
+    pages are zero-padded (the decode kernel masks past ``seq_lens``)."""
+    b, l, hkv, d = k_prompts.shape
+    ps = cache.page_size
+    npg = cdiv(l, ps)
+    pad = npg * ps - l
+
+    def prep(x):
+        xq, xs = _quantize_rows(x)                       # [B,L,H,d],[B,L,H]
+        if pad:
+            xq = jnp.pad(xq, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        # [B, npg, Hkv, ps, d] / [B, npg, Hkv, 1, ps]
+        xq = xq.reshape(b, npg, ps, hkv, d).transpose(0, 1, 3, 2, 4)
+        xs = xs.reshape(b, npg, ps, hkv).transpose(0, 1, 3, 2)[:, :, :, None, :]
+        return xq.reshape(b * npg, hkv, ps, d), xs.reshape(b * npg, hkv, 1, ps)
+
+    kq, ks = prep(k_prompts)
+    vq, vs = prep(v_prompts)
+    page_ids = cache.page_table[seq_ids, :npg].reshape(-1)   # [B*npg]
+    return dataclasses.replace(
+        cache,
+        k_pages=cache.k_pages.at[page_ids].set(kq, mode="drop"),
+        v_pages=cache.v_pages.at[page_ids].set(vq, mode="drop"),
+        k_scales=cache.k_scales.at[page_ids].set(ks, mode="drop"),
+        v_scales=cache.v_scales.at[page_ids].set(vs, mode="drop"),
+        seq_lens=cache.seq_lens.at[seq_ids].set(l, mode="drop"),
+    )
 
 def gather_kv(
     cache: PagedKVCache, seq_id: int, dtype=jnp.float32

@@ -82,6 +82,18 @@ def test_generate_temperature_reproducible():
     np.testing.assert_array_equal(a, b)
 
 
+def test_generate_engine_reusable():
+    params = init_params(CFG, seed=3)
+    prompt = jnp.asarray(
+        np.random.default_rng(3).integers(0, CFG.vocab_size, (1, 8)),
+        jnp.int32,
+    )
+    eng = GenerationEngine(params, CFG, max_seqs=1, max_len=32)
+    a = eng.generate(prompt, 2)
+    b = eng.generate(prompt, 2)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_generate_batch_capacity_check():
     params = init_params(CFG, seed=0)
     eng = GenerationEngine(params, CFG, max_seqs=1, max_len=32)
