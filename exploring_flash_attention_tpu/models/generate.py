@@ -33,6 +33,7 @@ from exploring_flash_attention_tpu.models.transformer import (
     Params,
     _mlp_block,
     _rmsnorm,
+    rope,
 )
 from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
 from exploring_flash_attention_tpu.serving.decode import (
@@ -63,6 +64,10 @@ def forward_collect_kv(
         q = jnp.einsum("ble,ehd->bhld", h, p["wq"])
         k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
         v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
+        if c.use_rope:
+            pos = jnp.arange(k.shape[2], dtype=jnp.int32)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)   # cache stores post-rotation K
         kvs.append((k, v))                           # [B, Hkv, L, d]
         rep = q.shape[1] // k.shape[1]
         if rep > 1:
@@ -98,6 +103,10 @@ def _decode_forward(
         q = jnp.einsum("be,ehd->bhd", h, p["wq"])        # [B, Hq, d]
         k = jnp.einsum("be,ehd->bhd", h, p["wk"])        # [B, Hkv, d]
         v = jnp.einsum("be,ehd->bhd", h, p["wv"])
+        if c.use_rope:
+            pos = cache.seq_lens[slots]                  # [B] this token's pos
+            q = rope(q, pos[:, None], c.rope_theta)
+            k = rope(k, pos[:, None], c.rope_theta)
         cache = append_tokens(cache, slots, k, v)
         o = paged_decode_attention(
             q, cache, slots, interpret=interpret

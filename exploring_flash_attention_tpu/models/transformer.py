@@ -53,10 +53,14 @@ class ModelConfig:
     dtype: Any = jnp.float32
     tile: TileConfig = TileConfig(block_q=128, block_kv=128)
     norm_eps: float = 1e-5
+    use_rope: bool = True
+    rope_theta: float = 10000.0
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
             raise ValueError("n_heads must be divisible by n_kv_heads")
+        if self.use_rope and self.d_head % 2:
+            raise ValueError("RoPE needs an even d_head")
 
 
 def init_params(config: ModelConfig, seed: int = 0) -> Params:
@@ -92,6 +96,24 @@ def init_params(config: ModelConfig, seed: int = 0) -> Params:
     }
 
 
+def rope(x, pos, theta: float):
+    """Rotary position embedding.  x: [..., L, d] (d even); pos: int32
+    positions broadcastable to x's [..., L] prefix (a scalar offset plus
+    arange, or per-row positions for decode)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = theta ** (
+        -jnp.arange(half, dtype=jnp.float32) / half
+    )                                                   # [half]
+    ang = pos[..., None].astype(jnp.float32) * freqs    # [..., L, half]
+    cos = jnp.cos(ang).astype(x.dtype)
+    sin = jnp.sin(ang).astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    )
+
+
 def _rmsnorm(x, scale, eps):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
@@ -109,6 +131,16 @@ def _attn_block(
     q = jnp.einsum("ble,ehd->bhld", h, p["wq"])        # heads local to tp
     k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
     v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
+
+    if c.use_rope:
+        # rotate at GLOBAL positions (sp shards sit at traced offsets);
+        # k is rotated before the sequence gather so gathered keys carry
+        # their source-shard rotations
+        pos0 = (jax.lax.axis_index(sp_axis) * l_local
+                if sp_axis is not None else 0)
+        pos = pos0 + jnp.arange(l_local, dtype=jnp.int32)
+        q = rope(q, pos, c.rope_theta)
+        k = rope(k, pos, c.rope_theta)
 
     if sp_axis is not None:
         # sequence parallel: keep Q local, gather K/V (fwd all-gather,

@@ -104,3 +104,26 @@ def test_gqa_forward():
     logits = forward(params, toks, cfg)
     assert logits.shape == (1, 32, 256)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_rope_relative_invariance():
+    """RoPE scores depend only on relative positions: shifting both q and
+    k positions by a constant leaves q·k unchanged (and norms are
+    preserved)."""
+    from exploring_flash_attention_tpu.models.transformer import rope
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((1, 2, 8, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 8, 16)), jnp.float32)
+    pos = jnp.arange(8, dtype=jnp.int32)
+
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rope(q, pos, 1e4)), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1),
+        rtol=1e-5,
+    )
+    s0 = jnp.einsum(
+        "bhqd,bhkd->bhqk", rope(q, pos, 1e4), rope(k, pos, 1e4))
+    s1 = jnp.einsum(
+        "bhqd,bhkd->bhqk", rope(q, pos + 100, 1e4), rope(k, pos + 100, 1e4))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-4)
