@@ -114,7 +114,7 @@ def bench_fwd_streaming():
 
     b, h, l, d = 32, 8, 1024, 128
     qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
-    cfg = TileConfig(block_q=512, block_kv=512)   # block_kv < L -> streaming
+    cfg = TileConfig(block_q=512, block_kv=512, one_pass=False)
     sec = time_fn_chained(lambda x: flash_attention_v1(x, kb, vb, config=cfg), qb)
     tf = attention_flops(b, h, l, l, d) / sec / 1e12
     emit("fwd_v1_streaming_tflops", tf, "TFLOP/s", 39.0 / (sec * 1e3),

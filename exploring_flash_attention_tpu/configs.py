@@ -44,6 +44,10 @@ class TileConfig:
     block_kv: int = 512         # reference BK
     d_tile_qk: Optional[int] = None   # reference D_TILE_QK (None = no d-tiling)
     d_tile_v: Optional[int] = None    # reference D_TILE_V
+    # one-pass fast-path selection: None = auto (use it whenever the whole
+    # KV fits VMEM and the call is non-causal), False = always stream
+    # (exercises/tunes the online-softmax kernel), True = require it
+    one_pass: Optional[bool] = None
 
     def __post_init__(self):
         if self.block_q <= 0 or self.block_kv <= 0:

@@ -13,8 +13,11 @@ INT8 paged cache with continuous batching"):
 - :class:`GenerationEngine` owns the per-layer caches + page allocation
   and exposes ``generate()``.
 
-The model uses no positional encoding beyond causality (NoPE), so decode
-needs no position bookkeeping besides the cache lengths.
+Positions: the model applies RoPE (ModelConfig.use_rope, default on) —
+the cache stores POST-rotation K, and decode rotates each new token's
+q/k at its per-sequence position taken from the cache's ``seq_lens``
+(so seq_lens doubles as the RoPE position counter; keep that invariant
+when adding eviction or slot reuse).
 """
 
 from __future__ import annotations
@@ -202,28 +205,30 @@ class GenerationEngine:
         if bsz > self.max_seqs:
             raise ValueError(f"batch {bsz} > max_seqs {self.max_seqs}")
         slots = self._map_slots(bsz)
+        try:
+            # ---- prefill: full forward + quantized cache population ----
+            logits, kvs = forward_collect_kv(
+                self.params, prompt, self.config, interpret=self.interpret
+            )
+            for li, (k, v) in enumerate(kvs):
+                self.caches[li] = append_prompts(
+                    self.caches[li], slots, k, v)
 
-        # ---- prefill: full forward + quantized cache population ----
-        logits, kvs = forward_collect_kv(
-            self.params, prompt, self.config, interpret=self.interpret
-        )
-        for li, (k, v) in enumerate(kvs):
-            self.caches[li] = append_prompts(self.caches[li], slots, k, v)
+            rng = jax.random.PRNGKey(seed)
+            rng, sub = jax.random.split(rng)
+            tok = sample(logits[:, -1, :], sub, temperature)  # first token
 
-        rng = jax.random.PRNGKey(seed)
-        rng, sub = jax.random.split(rng)
-        tok = sample(logits[:, -1, :], sub, temperature)   # first new token
-
-        # ---- decode loop: one jitted lax.scan over steps (caches are the
-        # carry), so generation is a single device program — no per-token
-        # host round-trips ----
-        toks, self.caches = self._decode_loop(
-            max_new_tokens - 1, temperature
-        )(self.params, tok, tuple(self.caches), slots, rng)
-        self.caches = list(self.caches)
-        out = jnp.concatenate([tok[:, None], toks.T], axis=1)
-        self._release_slots()                   # engine is reusable
-        return np.asarray(out)
+            # ---- decode loop: one jitted lax.scan over steps (caches are
+            # the carry) — a single device program, no per-token host
+            # round-trips ----
+            toks, self.caches = self._decode_loop(
+                max_new_tokens - 1, temperature
+            )(self.params, tok, tuple(self.caches), slots, rng)
+            self.caches = list(self.caches)
+            out = jnp.concatenate([tok[:, None], toks.T], axis=1)
+            return np.asarray(out)
+        finally:
+            self._release_slots()               # engine stays reusable
 
     def _decode_loop(self, n_steps: int, temperature: float):
         key = (n_steps, temperature)

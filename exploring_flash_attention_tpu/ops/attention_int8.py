@@ -66,8 +66,9 @@ def _int8_kernel(
     qs = qs_ref[bh * n_q + qi]                      # this Q block's scale
     k = k_ref[0]
     v = v_ref[0]
-
-    needs_kv_mask = seq_len_kv % kv_block != 0
+    # NOTE: ragged L_kv needs no mask here — score pieces are sliced to
+    # exactly min(kv_block, seq_len_kv - k0) columns, so the concatenated
+    # strip is seq_len_kv wide by construction
 
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
@@ -87,9 +88,6 @@ def _int8_kernel(
             cc = qs * ks * (scale * LOG2E)
             pieces.append(s_i32.astype(jnp.float32) * cc)
         s = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
-        if needs_kv_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < seq_len_kv, s, NEG_INF)
 
         m = jnp.max(s, axis=1, keepdims=True)
         arg = jnp.where(jnp.isneginf(m), NEG_INF, s - m)

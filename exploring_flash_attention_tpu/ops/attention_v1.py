@@ -61,7 +61,10 @@ ONEPASS_Q_CHUNK = 256
 
 
 def fits_onepass(lkv: int, d: int) -> bool:
-    return lkv * d <= ONEPASS_MAX_KV_ELEMS
+    # both bounds matter: lkv*d sizes the K/V blocks, but the f32 score
+    # strip is q_chunk*lkv regardless of d — small head dims must not
+    # admit arbitrarily long rows
+    return lkv <= ONEPASS_MAX_KV and lkv * d <= ONEPASS_MAX_KV_ELEMS
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
@@ -326,13 +329,16 @@ def flash_attention_v1(
 
     # Fast path: whole-KV-resident one-pass softmax (no online state, no
     # accumulator read-modify-write) whenever KV fits VMEM and the kernel
-    # doesn't need the FLOP-halving causal tile skip.  Taken when the caller
-    # asked for whole-KV tiles (block_kv >= L_kv — one-pass is then strictly
-    # better than a single online step) or left the config at its default
-    # (auto-tuning: measured ~1.3x over the streaming kernel, see
-    # scripts/proto_onepass*.py).
-    wants_onepass = config.block_kv >= lkv or config == TileConfig()
-    if not causal and fits_onepass(lkv, d) and wants_onepass:
+    # doesn't need the FLOP-halving causal tile skip (~1.3x over streaming
+    # at the canonical shape; scripts/proto_onepass*.py).  config.one_pass
+    # overrides: False always streams, True requires eligibility.
+    eligible = not causal and fits_onepass(lkv, d)
+    if config.one_pass and not eligible:
+        raise ValueError(
+            "one_pass=True requires a non-causal call whose KV fits VMEM "
+            f"(L_kv={lkv}, d={d}, causal={causal})"
+        )
+    if eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret)
         )

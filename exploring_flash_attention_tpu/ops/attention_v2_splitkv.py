@@ -323,7 +323,8 @@ def flash_attention_splitkv_partial(
     # One-pass fast path: a single VMEM-resident KV block needs no online
     # state — run the strip-mined single-softmax kernel (with causal
     # chunk-skip) and emit the same (o_partial, lse) contract.
-    if n_kb == 1 and fits_onepass(lkv, d):
+    if (n_kb == 1 and fits_onepass(lkv, d)
+            and config.one_pass is not False):
         op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
             else block_q
         op_n_q = cdiv(lq, op_block_q)

@@ -8,9 +8,14 @@ shard; after ``sp`` steps every Q shard has seen every KV shard.  The merge
 is the associative pairwise rule (parallel/partials.py:merge_partials), so
 no global workspace materializes — memory per chip stays O(L_local).
 
-This is the collective (XLA-scheduled) ring.  A hand-overlapped Pallas
-ring using ``make_async_remote_copy`` double-buffering is the planned
-speed-of-light variant (pallas_guide: Ring Collectives pattern).
+Comm/compute overlap: each step starts the next shard's ``ppermute``
+(lowered to async collective-permute over ICI) BEFORE computing on the
+shard in hand, so the transfer rides under the partial-attention matmuls
+— the collective-level expression of the double-buffered
+``make_async_remote_copy`` ring (pallas_guide: Ring Collectives).  A
+hand-rolled Pallas RDMA ring was evaluated and rejected for this tier:
+TPU grid programs execute sequentially per core, so an in-kernel ring
+would need HBM-resident softmax state (see memory notes).
 """
 
 from __future__ import annotations
@@ -87,12 +92,17 @@ def ring_attention(
 
         # the peeled step 0 already consumed the local shard, so the scan
         # body computes on the shard that arrived at the END of the previous
-        # step: rotate once before entering the loop
+        # step: rotate once before entering the loop.  The LAST arriving
+        # shard is folded outside the scan so its rotation isn't wastefully
+        # forwarded another hop.
         k_c = jax.lax.ppermute(k_l, axis_name, perm)
         v_c = jax.lax.ppermute(v_l, axis_name, perm)
-        (o, lse, _, _), _ = jax.lax.scan(
-            body, (o, lse, k_c, v_c), jnp.arange(1, n_ring)
+        (o, lse, k_c, v_c), _ = jax.lax.scan(
+            body, (o, lse, k_c, v_c), jnp.arange(1, n_ring - 1)
         )
+        last_src = jax.lax.rem(my - (n_ring - 1) + n_ring, n_ring)
+        o_p, lse_p = partial(k_c, v_c, last_src)
+        o, lse = merge_partials(o, lse, o_p, lse_p)
         return o.astype(q_l.dtype)
 
     spec = P(None, None, axis_name, None)

@@ -199,7 +199,7 @@ def paged_decode_attention(
         num_kv_heads=hkv,
         group=group,
         head_dim=d,
-        compute_dtype=q.dtype if q.dtype != jnp.float32 else jnp.float32,
+        compute_dtype=q.dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

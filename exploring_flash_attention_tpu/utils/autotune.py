@@ -141,6 +141,11 @@ def autotune_v1(
             continue
         if t < best_t:
             best, best_t = cfg, t
+    if best_t == float("inf"):
+        raise RuntimeError(
+            f"autotune_v1: every candidate config failed for {key}; "
+            "not caching an unvalidated config"
+        )
     _CACHE[key] = best
     if use_disk_cache:
         _save_disk(key, best)

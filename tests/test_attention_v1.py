@@ -27,10 +27,12 @@ def test_v1_f32_small():
     assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
 
 
+@pytest.mark.parametrize("one_pass", [None, False])
 @pytest.mark.parametrize("bq,bk", [(64, 128), (128, 64), (256, 128)])
-def test_v1_block_shapes(bq, bk):
+def test_v1_block_shapes(bq, bk, one_pass):
     q, k, v = make_qkv(1, 1, 256, 64, dtype=np.float32, seed=1)
-    out = run_v1(q, k, v, config=TileConfig(block_q=bq, block_kv=bk))
+    out = run_v1(q, k, v, config=TileConfig(block_q=bq, block_kv=bk,
+                                            one_pass=one_pass))
     assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
 
 
@@ -63,10 +65,12 @@ def test_v1_bf16_d128_tight():
     assert error_stats(out, naive_attention(qb, kb, vb))["max_abs"] < 1.5e-2
 
 
-def test_v1_ragged_kv_len():
+@pytest.mark.parametrize("one_pass", [None, False])
+def test_v1_ragged_kv_len(one_pass):
     # L_kv not divisible by block_kv -> in-kernel masking path
     q, k, v = make_qkv(1, 2, 128, 64, dtype=np.float32, seq_len_kv=200, seed=4)
-    out = run_v1(q, k, v, config=TileConfig(block_q=128, block_kv=128))
+    out = run_v1(q, k, v, config=TileConfig(block_q=128, block_kv=128,
+                                            one_pass=one_pass))
     assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
 
 
@@ -90,16 +94,24 @@ def test_v1_causal_cross_length():
 
 
 def test_v1_matches_sim_exactly_in_structure():
-    # kernel vs the executable spec (fused sim), not just the oracle
+    # STREAMING kernel vs the executable spec (fused sim), not the oracle
     from exploring_flash_attention_tpu.sim import flash_attention_tiled_fused
 
     q, k, v = make_qkv(1, 1, 256, 64, dtype=np.float32, seed=8)
-    out = run_v1(q, k, v, config=TileConfig(block_q=64, block_kv=64))
+    out = run_v1(q, k, v, config=TileConfig(block_q=64, block_kv=64,
+                                            one_pass=False))
     sim = flash_attention_tiled_fused(q, k, v, 64, 64)
     np.testing.assert_allclose(out, sim, atol=1e-5, rtol=1e-5)
 
 
-def test_v1_scale_override():
+@pytest.mark.parametrize("one_pass", [None, False])
+def test_v1_scale_override(one_pass):
     q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
-    out = run_v1(q, k, v, scale=0.25)
+    out = run_v1(q, k, v, scale=0.25, config=TileConfig(one_pass=one_pass))
     assert error_stats(out, naive_attention(q, k, v, scale=0.25))["max_abs"] < 2e-5
+
+
+def test_v1_one_pass_forced_requires_eligibility():
+    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
+    with pytest.raises(ValueError, match="one_pass"):
+        run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
