@@ -94,6 +94,7 @@ def _v1_kernel(
     seq_len_q: int,
     seq_len_kv: int,
     causal: bool,
+    window: Optional[int] = None,
 ):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -114,6 +115,14 @@ def _v1_kernel(
         tile_visible = (
             kv_idx * block_kv <= (q_idx + 1) * block_q - 1 + diag_off
         )
+        if window is not None:
+            # sliding window: also skip tiles entirely BEFORE the band
+            # (col_end < q_start + off - window + 1)
+            tile_visible = jnp.logical_and(
+                tile_visible,
+                (kv_idx + 1) * block_kv - 1
+                >= q_idx * block_q + diag_off - window + 1,
+            )
     else:
         tile_visible = True
 
@@ -159,6 +168,12 @@ def _v1_kernel(
                         jnp.int32, (rows, block_kv), 0)
                     row = row + q_idx * block_q + q0
                     cmask = col <= row + (seq_len_kv - seq_len_q)
+                    if window is not None:
+                        cmask = jnp.logical_and(
+                            cmask,
+                            col >= row + (seq_len_kv - seq_len_q)
+                            - window + 1,
+                        )
                     mask = (cmask if mask is None
                             else jnp.logical_and(mask, cmask))
 
@@ -296,7 +311,8 @@ def _flash_attention_v1_onepass(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "causal", "scale", "interpret", "out_dtype"),
+    static_argnames=("config", "causal", "scale", "interpret", "out_dtype",
+                     "window"),
 )
 def flash_attention_v1(
     q: jax.Array,               # [B, H, Lq, d]
@@ -307,12 +323,22 @@ def flash_attention_v1(
     causal: bool = False,
     interpret: Optional[bool] = None,
     out_dtype=None,
+    window: Optional[int] = None,
 ) -> jax.Array:
-    """Fused single-kernel flash attention forward on [B, H, L, d] inputs."""
+    """Fused single-kernel flash attention forward on [B, H, L, d] inputs.
+
+    ``window``: sliding-window (local) attention width — each query attends
+    to its last ``window`` positions (inclusive); requires ``causal=True``.
+    Tiles entirely outside the band are skipped on both sides."""
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     if k.shape != (b, h, lkv, d) or v.shape != (b, h, lkv, d):
         raise ValueError(f"shape mismatch: q={q.shape} k={k.shape} v={v.shape}")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     out_dtype = out_dtype or q.dtype
@@ -352,6 +378,7 @@ def flash_attention_v1(
         seq_len_q=lq,
         seq_len_kv=lkv,
         causal=causal,
+        window=window,
     )
 
     flops = 4 * n_bh * lq * lkv * d

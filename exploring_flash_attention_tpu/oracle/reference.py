@@ -27,6 +27,7 @@ def naive_attention(
     v: np.ndarray,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: Optional[int] = None,
 ) -> np.ndarray:
     """Materialized-scores attention oracle in float64 NumPy.
 
@@ -44,6 +45,12 @@ def naive_attention(
     if causal:
         lq, lk = scores.shape[-2], scores.shape[-1]
         mask = np.tril(np.ones((lq, lk), dtype=bool), k=lk - lq)
+        if window is not None:
+            # sliding window: each row attends to its last `window`
+            # positions (inclusive of itself)
+            mask &= ~np.tril(
+                np.ones((lq, lk), dtype=bool), k=lk - lq - window
+            )
         scores = np.where(mask, scores, -np.inf)
     scores -= scores.max(axis=-1, keepdims=True)
     weights = np.exp(scores)

@@ -115,3 +115,25 @@ def test_v1_one_pass_forced_requires_eligibility():
     q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
     with pytest.raises(ValueError, match="one_pass"):
         run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+
+
+@pytest.mark.parametrize("window", [1, 32, 100])
+def test_v1_sliding_window(window):
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=10)
+    out = run_v1(q, k, v, causal=True, window=window)
+    ref = naive_attention(q, k, v, causal=True, window=window)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+def test_v1_window_cross_length():
+    # decode-style local attention over a longer KV history
+    q, k, v = make_qkv(1, 1, 64, 64, dtype=np.float32, seq_len_kv=256, seed=11)
+    out = run_v1(q, k, v, causal=True, window=48)
+    ref = naive_attention(q, k, v, causal=True, window=48)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+def test_v1_window_requires_causal():
+    q, k, v = make_qkv(1, 1, 64, 64, dtype=np.float32, seed=12)
+    with pytest.raises(ValueError, match="causal"):
+        run_v1(q, k, v, window=16)
