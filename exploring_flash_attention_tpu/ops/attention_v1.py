@@ -23,9 +23,18 @@ storage (bf16), f32 scores/statistics/accumulator, probabilities cast back
 to storage dtype for the P@V matmul (as the CUDA kernel's half exp_S,
 flash_attention_v1.h:148-156).
 
-Extensions beyond the reference surface: optional causal masking,
-cross-length (L_kv != L_q) attention, and ragged (non-divisible) sequence
-lengths via in-kernel masking.
+Two execution tiers behind one API (selected by ``TileConfig.one_pass``,
+default auto):
+
+- **one-pass**: whole KV VMEM-resident, single softmax per q-strip —
+  no online state, the fastest path whenever ``fits_onepass`` holds;
+- **streaming**: online-softmax over a sequential KV grid axis with the
+  same strip-mined update, for arbitrary sequence lengths.
+
+Extensions beyond the reference surface: optional causal masking with
+whole-tile skipping, sliding-window (local) attention, cross-length
+(L_kv != L_q) attention, and ragged (non-divisible) sequence lengths via
+in-kernel masking.
 """
 
 from __future__ import annotations

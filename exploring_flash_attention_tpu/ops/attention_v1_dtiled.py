@@ -31,6 +31,13 @@ Restrictions (asserted): L divisible by blocks, d divisible by both d tiles
 — the d-tiled path targets large aligned shapes, mirroring the reference's
 compile-time divisibility static_asserts.  Non-causal only, like the
 reference.
+
+When to use: only when a single (block, d) K/V tile would blow the VMEM
+budget (d >= ~1024 at large blocks).  For d <= 512 with moderate L the
+plain :func:`flash_attention_v1` (whose one-pass/streaming tiles hold the
+full head dim) is substantially faster — d-tiling trades on-chip residency
+for extra HBM chunk traffic, exactly as the reference's shared-memory
+variant did (tiled_d/README.md:13).
 """
 
 from __future__ import annotations
