@@ -33,9 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exploring_flash_attention_tpu.configs import TileConfig, cdiv
 from exploring_flash_attention_tpu.ops.attention_v1 import (
+    LOG2E,
     NEG_INF,
+    ONEPASS_Q_CHUNK,
     STATS_LANES,
     _resolve_interpret,
+    fits_onepass,
 )
 from exploring_flash_attention_tpu.ops.quant import QuantizedTensor
 
@@ -107,6 +110,62 @@ def _kvquant_kernel(
         ).astype(o_ref.dtype)
 
 
+def _kvquant_onepass_kernel(
+    q_ref, k_ref, v_ref,          # (1, BQ, d) bf16, (1, Lkv, d) int8/fp8 x2
+    ks_ref, vs_ref,               # SMEM flat [n_bh * n_kv] f32 scales
+    o_ref,                        # (1, BQ, d)
+    *,
+    scale: float,
+    q_chunk: int,
+    block_q: int,
+    n_kv: int,
+    kv_block: int,
+    seq_len_kv: int,
+    compute_dtype,
+):
+    """One-pass quantized-KV forward: the whole int8/fp8 KV is
+    VMEM-resident (half the bytes of bf16), dequantized by casting once
+    per program; K scales fold into the per-block exp2 multiply and V
+    scales into the per-block output sums (same zero-extra-pass scale
+    placement as the streaming kernel)."""
+    bh = pl.program_id(0)
+    k = k_ref[0].astype(compute_dtype)
+    v = v_ref[0].astype(compute_dtype)
+
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        q = q_ref[0, q0:q0 + rows, :]
+        pieces = []
+        for kb in range(n_kv):
+            k0 = kb * kv_block
+            cols = min(kv_block, seq_len_kv - k0)
+            s_kb = jax.lax.dot_general(
+                q, k[k0:k0 + cols, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cc = ks_ref[bh * n_kv + kb] * (scale * LOG2E)
+            pieces.append(s_kb * cc)                    # fused K dequant
+        s = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+
+        m = jnp.max(s, axis=1, keepdims=True)
+        arg = jnp.where(jnp.isneginf(m), NEG_INF, s - m)
+        p = jnp.exp2(arg)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p_lp = p.astype(compute_dtype)
+        outs = []
+        for kb in range(n_kv):
+            k0 = kb * kv_block
+            cols = min(kv_block, seq_len_kv - k0)
+            pv = jax.lax.dot_general(
+                p_lp[:, k0:k0 + cols], v[k0:k0 + cols, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(pv * vs_ref[bh * n_kv + kb])    # fused V dequant
+        pv = functools.reduce(lambda a, b: a + b, outs)
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "scale", "interpret", "out_dtype"),
@@ -145,6 +204,41 @@ def flash_attention_kvquant(
     vf = v_q.values.reshape(n_bh, lkv, d)
     ks = k_q.scales.reshape(n_bh, n_kv)
     vs = v_q.scales.reshape(n_bh, n_kv)
+
+    # One-pass fast path: the quantized KV is half the bytes of bf16, so
+    # VMEM residency reaches 2x the sequence length of the bf16 kernel.
+    if fits_onepass(lkv, d) and config.one_pass is not False:
+        op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
+            else block_q
+        op_kernel = functools.partial(
+            _kvquant_onepass_kernel,
+            scale=scale,
+            q_chunk=min(ONEPASS_Q_CHUNK, op_block_q),
+            block_q=op_block_q,
+            n_kv=n_kv,
+            kv_block=block_kv,
+            seq_len_kv=lkv,
+            compute_dtype=compute_dtype,
+        )
+        out = pl.pallas_call(
+            op_kernel,
+            grid=(n_bh, cdiv(lq, op_block_q)),
+            in_specs=[
+                pl.BlockSpec((1, op_block_q, d), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, op_block_q, d), lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=_resolve_interpret(interpret),
+        )(qf, kf, vf, ks.reshape(-1), vs.reshape(-1))
+        return out.reshape(b, h, lq, d)
 
     kernel = functools.partial(
         _kvquant_kernel,

@@ -49,14 +49,16 @@ def test_ragged_l_quantization():
     assert err < 0.05
 
 
+@pytest.mark.parametrize("one_pass", [None, False])
 @pytest.mark.parametrize("quantizer", [quantize_int8, quantize_fp8])
-def test_kvquant_attention_matches_dequant_oracle(quantizer):
+def test_kvquant_attention_matches_dequant_oracle(quantizer, one_pass):
     q, k, v = make_qkv(1, 2, 256, 128, dtype=np.float32, seed=3)
     kq = quantizer(jnp.asarray(k), block=128)
     vq = quantizer(jnp.asarray(v), block=128)
     out = np.asarray(
         flash_attention_kvquant(
-            jnp.asarray(q), kq, vq, config=TileConfig(128, 128),
+            jnp.asarray(q), kq, vq,
+            config=TileConfig(128, 128, one_pass=one_pass),
             out_dtype=jnp.float32,
         )
     )
