@@ -250,7 +250,7 @@ def _splitkv_fwd_kernel(
     # write normalized partial + lse (zero / -inf for fully-masked rows)
     l = l_ref[:, :1]
     denom = jnp.where(l == 0.0, 1.0, l)
-    o_part_ref[0, 0] = acc_ref[...] / denom
+    o_part_ref[0, 0] = (acc_ref[...] / denom).astype(o_part_ref.dtype)
     m_final = m_ref[:, 0]
     lse = jnp.where(
         l[:, 0] == 0.0,
@@ -498,8 +498,12 @@ def flash_attention_v2(
     flash_attention_v2.h:438-508 host orchestration, minus the per-call
     workspace malloc)."""
     out_dtype = out_dtype or q.dtype
+    # workspace in the storage dtype (the reference's half workspace,
+    # flash_attention_v2.h:453-463): halves the HBM round-trip between the
+    # phases; lse stays f32
     o_part, lse = flash_attention_splitkv_partial(
-        q, k, v, config=config, scale=scale, causal=causal, interpret=interpret
+        q, k, v, config=config, scale=scale, causal=causal,
+        interpret=interpret, workspace_dtype=q.dtype,
     )
     return splitkv_combine(
         o_part, lse, block_q=config.block_q, out_dtype=out_dtype,
