@@ -142,7 +142,13 @@ def _v1_kernel(
     # per-element work per strip is one fused multiply-subtract + exp2.
     c = scale * LOG2E
     needs_kv_mask = seq_len_kv % block_kv != 0
-    q_strip = min(ONEPASS_Q_CHUNK, block_q)
+    # strip-mining pays off when the KV tile is wide (the VPU work per
+    # strip is large enough to hide the next strip's matmul under); for
+    # narrow tiles the extra per-strip state read-modify-writes dominate —
+    # process the block monolithically instead (measured crossover on
+    # v5e: ~1024 columns)
+    q_strip = (min(ONEPASS_Q_CHUNK, block_q) if block_kv >= 1024
+               else block_q)
 
     @pl.when(tile_visible)
     def _tile():
