@@ -133,7 +133,10 @@ def bench_dtiled_d512():
     )
 
     b, h, l, d = 4, 8, 1024, 512
-    cfg = TileConfig(block_q=256, block_kv=256, d_tile_qk=128, d_tile_v=128)
+    # tuned on v5e (scripts/ab_splitkv_dtiled.py): large blocks + 256-wide
+    # d-chunks keep the phase-grid overhead amortized — 38 TF at the old
+    # (256, 256, 128) point vs 138 TF here
+    cfg = TileConfig(block_q=1024, block_kv=512, d_tile_qk=256, d_tile_v=256)
     q, k, v = _qkv_bf16(1, 2, 512, d, seed=0)
     out = np.asarray(flash_attention_v1_dtiled(
         q, k, v, config=cfg, out_dtype=jnp.float32))
@@ -159,7 +162,7 @@ def bench_splitkv():
 
     b, h, l, d = 32, 8, 1024, 128
     qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
-    cfg = SplitKVConfig(block_q=512, block_kv=512, kv_tiles_per_block=1)
+    cfg = SplitKVConfig(block_q=1024, block_kv=512, kv_tiles_per_block=1)
     sec = time_fn_chained(lambda x: flash_attention_v2(x, kb, vb, config=cfg), qb)
     tf = attention_flops(b, h, l, l, d) / sec / 1e12
     emit("fwd_v2_splitkv_tflops", tf, "TFLOP/s", 52.8 / (sec * 1e3),

@@ -3,7 +3,7 @@
 TPU-native re-design of the reference's "true d-tiling" kernel
 (flash_attention_v1_tiled_d/CUDA/flash_attention_v1.h): instead of staging
 full (block, d) K/V tiles on-chip, the head dimension is streamed in
-``d_tile_qk`` / ``d_tile_v`` chunks straight from HBM, with the score matrix
+``d_tile_qk`` / ``d_tile_v`` chunks from HBM, with the score matrix
 accumulated chunk-by-chunk and a full-width f32 output accumulator kept
 resident (the VMEM analog of the reference's per-thread ``O_reg``,
 tiled_d/flash_attention_v1.h:269-284).
@@ -11,15 +11,26 @@ tiled_d/flash_attention_v1.h:269-284).
 Mapping of the reference's machinery:
 
 - global->shared chunk loads inside the tile step (tiled_d
-  flash_attention_v1.h:154-174, 209-226)  ->  explicit
-  ``pltpu.make_async_copy`` DMAs from HBM-resident refs into
-  double-buffered VMEM chunk scratch (the role of load_shared_memory.h's
-  vectorized copy library);
+  flash_attention_v1.h:154-174, 209-226)  ->  a sequential *d-chunk grid
+  axis* whose K/V BlockSpecs stream one (block_kv, d_tile) chunk per
+  program — Pallas's pipeline emitter double-buffers the HBM->VMEM copies
+  and overlaps them with the MXU work automatically, including across KV
+  steps (the role of load_shared_memory.h's vectorized copy library, and
+  the replacement for this file's earlier hand-rolled
+  ``make_async_copy`` double buffering, which exposed one DMA latency per
+  KV step and measured ~40 TFLOP/s at d=512 vs ~2x for this form);
 - ``mat_mul_chunk_accumulate`` (:57-73)   ->  per-chunk MXU dot into an
   f32 S accumulator in VMEM;
 - alpha-scaling hoisted before the V d-loop (the opt/V2 refinement,
   flash_attention_v2.h:213-219)           ->  one full-width multiply of
-  O_acc before the chunked P@V accumulation.
+  O_acc at the softmax phase, before the chunked P@V accumulation.
+
+The innermost grid axis runs ``n_cq + n_cv`` phases per KV tile: phases
+``[0, n_cq)`` accumulate S chunk-by-chunk, phase ``n_cq`` runs the online
+softmax update (exp2 basis, scale folded into one FMA), phases
+``[n_cq, n_cq + n_cv)`` accumulate P@V into the owning output columns.
+The K spec clamps its chunk index during the V phases (and vice versa) so
+a block is only re-fetched when its index actually advances.
 
 On-chip memory per program is O(BQ*BK + (BQ+BK)*d_tile + BQ*d) versus the
 non-tiled kernel's O((BQ+2*BK)*d + BQ*BK) input residency — the same VMEM
@@ -53,6 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exploring_flash_attention_tpu.configs import TileConfig, cdiv
 from exploring_flash_attention_tpu.ops.attention_v1 import (
+    LOG2E,
     NEG_INF,
     STATS_LANES,
     _resolve_interpret,
@@ -61,125 +73,84 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
 
 
 def _dtiled_kernel(
-    q_ref, k_hbm, v_hbm,     # q: VMEM block (1, BQ, d); k/v: ANY [nbh, L, d]
+    q_ref, k_ref, v_ref,     # VMEM blocks: (1,BQ,d), (1,BK,DTQ), (1,BK,DTV)
     o_ref,                   # VMEM block (1, BQ, d)
-    k_buf, v_buf,            # VMEM chunk scratch: (2, BK, DTQ), (2, BK, DTV)
-    s_scratch,               # VMEM (BQ, BK) f32
+    s_scratch,               # VMEM (BQ, BK) f32 — S accumulator
+    p_scratch,               # VMEM (BQ, BK) storage dtype — probabilities
     o_acc, m_ref, l_ref,     # VMEM (BQ, d) f32, (BQ, 128) f32 x2
-    sems,                    # DMA semaphores (2, 2)
     *,
     scale: float,
-    block_q: int,
-    block_kv: int,
     d_tile_qk: int,
     d_tile_v: int,
-    head_dim: int,
-    seq_len_kv: int,
+    n_cq: int,
+    n_cv: int,
 ):
-    bh = pl.program_id(0)
-    n_kv = seq_len_kv // block_kv
-    n_cq = head_dim // d_tile_qk
-    n_cv = head_dim // d_tile_v
+    kv = pl.program_id(2)
+    c = pl.program_id(3)
+    n_kv = pl.num_programs(2)
+    c2 = scale * LOG2E
 
-    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    o_acc[...] = jnp.zeros_like(o_acc)
+    @pl.when(jnp.logical_and(kv == 0, c == 0))
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        o_acc[...] = jnp.zeros_like(o_acc)
 
-    # Q stays VMEM-resident for the whole program (the reference re-loads Q
-    # chunks per KV tile because shared memory is KBs, tiled_d
-    # flash_attention_v1.h:154-174; VMEM holds the full (BQ, d) block, so
-    # only K/V stream in d-chunks)
-
-    def k_dma(slot, k_start, c):
-        return pltpu.make_async_copy(
-            k_hbm.at[bh, pl.ds(k_start, block_kv), pl.ds(c * d_tile_qk, d_tile_qk)],
-            k_buf.at[slot],
-            sems.at[0, slot],
+    # ---- phases [0, n_cq): S += Q_c K_c^T, one d-chunk per program ----
+    @pl.when(c < n_cq)
+    def _qk_chunk():
+        # Q stays VMEM-resident full-width for the whole program (the
+        # reference re-loads Q chunks per KV tile because shared memory is
+        # KBs, tiled_d flash_attention_v1.h:154-174); slice the owning chunk
+        q_c = q_ref[0, :, pl.ds(c * d_tile_qk, d_tile_qk)]
+        partial = jax.lax.dot_general(
+            q_c, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q_c),
         )
 
-    def v_dma(slot, k_start, c):
-        return pltpu.make_async_copy(
-            v_hbm.at[bh, pl.ds(k_start, block_kv), pl.ds(c * d_tile_v, d_tile_v)],
-            v_buf.at[slot],
-            sems.at[1, slot],
-        )
+        @pl.when(c == 0)
+        def _first():
+            s_scratch[...] = partial
 
-    def kv_step(ki, _):
-        k_start = ki * block_kv
+        @pl.when(c > 0)
+        def _rest():
+            s_scratch[...] = s_scratch[...] + partial
 
-        # ---- d-loop #1: S = sum_c Q_c K_c^T, double-buffered K DMAs ----
-        k_dma(0, k_start, 0).start()
-
-        def qk_chunk(c, _):
-            slot = jax.lax.rem(c, 2)
-            nxt = jax.lax.rem(c + 1, 2)
-
-            @pl.when(c + 1 < n_cq)
-            def _prefetch():
-                k_dma(nxt, k_start, c + 1).start()
-
-            k_dma(slot, k_start, c).wait()
-            q_c = q_ref[0, :, pl.ds(c * d_tile_qk, d_tile_qk)]
-            partial = jax.lax.dot_general(
-                q_c, k_buf[slot], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(q_c),
-            )
-
-            @pl.when(c == 0)
-            def _first():
-                s_scratch[...] = partial
-
-            @pl.when(c > 0)
-            def _rest():
-                s_scratch[...] = s_scratch[...] + partial
-
-            return ()
-
-        jax.lax.fori_loop(0, n_cq, qk_chunk, (), unroll=False)
-
-        s = s_scratch[...] * scale
-
-        # ---- online-softmax state update (f32, full stats) ----
+    # ---- phase n_cq: online-softmax update (exp2 basis) ----
+    @pl.when(c == n_cq)
+    def _softmax():
+        s = s_scratch[...]
         m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, :1])
+        m_cur = jnp.max(s, axis=1, keepdims=True) * c2
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s * c2 - m_new[:, :1])
         m_ref[...] = m_new
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         # alpha hoisted: one full-width rescale before the chunked P@V
         o_acc[...] = o_acc[...] * alpha[:, :1]
-        p_cast = p.astype(v_buf.dtype)
+        p_scratch[...] = p.astype(p_scratch.dtype)
 
-        # ---- d-loop #2: O[:, c] += P V_c, double-buffered ----
-        v_dma(0, k_start, 0).start()
-
-        def v_chunk(c, _):
-            slot = jax.lax.rem(c, 2)
-            nxt = jax.lax.rem(c + 1, 2)
-
-            @pl.when(c + 1 < n_cv)
-            def _prefetch():
-                v_dma(nxt, k_start, c + 1).start()
-
-            v_dma(slot, k_start, c).wait()
-            pv = jax.lax.dot_general(
-                p_cast, v_buf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(p_cast),
-            )
-            col = pl.ds(c * d_tile_v, d_tile_v)
-            o_acc[:, col] = o_acc[:, col] + pv
-            return ()
-
-        jax.lax.fori_loop(0, n_cv, v_chunk, (), unroll=False)
-        return ()
-
-    jax.lax.fori_loop(0, n_kv, kv_step, (), unroll=False)
+    # ---- phases [n_cq, n_cq+n_cv): O[:, cv] += P V_cv ----
+    @pl.when(c >= n_cq)
+    def _pv_chunk():
+        cv = c - n_cq
+        pv = jax.lax.dot_general(
+            p_scratch[...], v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(p_scratch[...]),
+        )
+        col = pl.ds(cv * d_tile_v, d_tile_v)
+        o_acc[:, col] = o_acc[:, col] + pv
 
     # finalize O = O_acc / l (reference tiled_d :300-308)
-    l = l_ref[:, :1]
-    o_ref[0] = (o_acc[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+    @pl.when(jnp.logical_and(kv == n_kv - 1, c == n_cq + n_cv - 1))
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (
+            o_acc[...] / jnp.where(l == 0.0, 1.0, l)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -217,6 +188,9 @@ def flash_attention_v1_dtiled(
 
     n_bh = b * h
     n_q = lq // block_q
+    n_kv = lkv // block_kv
+    n_cq = d // d_tile_qk
+    n_cv = d // d_tile_v
     qf = q.reshape(n_bh, lq, d)
     kf = k.reshape(n_bh, lkv, d)
     vf = v.reshape(n_bh, lkv, d)
@@ -224,34 +198,50 @@ def flash_attention_v1_dtiled(
     kernel = functools.partial(
         _dtiled_kernel,
         scale=scale,
-        block_q=block_q,
-        block_kv=block_kv,
         d_tile_qk=d_tile_qk,
         d_tile_v=d_tile_v,
-        head_dim=d,
-        seq_len_kv=lkv,
+        n_cq=n_cq,
+        n_cv=n_cv,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_bh, n_q),
+        grid=(n_bh, n_q, n_kv, n_cq + n_cv),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, qi, kv, c: (bh, qi, 0)),
+            # chunk index clamps during the foreign phase so the block is
+            # only re-fetched when it actually advances
+            pl.BlockSpec(
+                (1, block_kv, d_tile_qk),
+                lambda bh, qi, kv, c: (bh, kv, jnp.minimum(c, n_cq - 1)),
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d_tile_v),
+                lambda bh, qi, kv, c: (
+                    bh, kv, jnp.clip(c - n_cq, 0, n_cv - 1)
+                ),
+            ),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, qi, kv, c: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block_kv, d_tile_qk), k.dtype),
-            pltpu.VMEM((2, block_kv, d_tile_v), v.dtype),
             pltpu.VMEM((block_q, block_kv), jnp.float32),
+            pltpu.VMEM((block_q, block_kv), v.dtype),
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_bh * lq * lkv * d,
+            bytes_accessed=(qf.size + n_q * (kf.size + vf.size))
+            * qf.dtype.itemsize
+            + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
+            transcendentals=n_bh * lq * lkv,
         ),
         interpret=_resolve_interpret(interpret),
     )(qf, kf, vf)

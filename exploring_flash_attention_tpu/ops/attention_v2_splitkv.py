@@ -53,23 +53,38 @@ def _onepass_partial_kernel(
     q_chunk: int,
     kv_chunk: int,
     block_q: int,
+    kv_span: int,
     seq_len_q: int,
     seq_len_kv: int,
     causal: bool,
     has_offsets: bool,
     static_positions=None,
+    multi_span: bool = False,
 ):
-    """Single-pass partial-attention forward for a VMEM-resident KV span
-    (n_kb == 1): the strip-mined one-pass softmax of attention_v1's fast
-    path, extended with the LSE output and causal chunk-skip.
+    """Single-pass partial-attention forward for a VMEM-resident KV span:
+    the strip-mined one-pass softmax of attention_v1's fast path, extended
+    with the LSE output and causal chunk-skip.
+
+    Runs in two grid shapes: ``multi_span=False`` covers the whole KV in
+    one span (grid ``(n_bh, n_q)``, the decode / ring building block);
+    ``multi_span=True`` adds a third ``kv_block`` grid axis and computes a
+    span-local softmax per block — since the BlockSpec stages the full span
+    in VMEM either way, online-softmax state across tiles *within* a span
+    is pure overhead, and this path replaces the streaming span kernel
+    whenever the span fits the one-pass budget (measured ~2x on v5e at the
+    canonical split-KV shape).
 
     Causal handling: with static offsets (``has_offsets=False``, the decode
-    convention) chunks strictly above a strip's diagonal are skipped at
-    trace time — real FLOP savings with zero control-flow overhead.  With
-    traced shard offsets (ring / sequence-parallel) the kernel computes the
-    full span and masks; whole-shard skipping belongs to the caller
-    (parallel/ring.py wraps the shard in one ``lax.cond``) — measured on
-    v5e, per-chunk ``lax.cond`` costs more than the MXU work it saves."""
+    convention) and a single span, chunks strictly above a strip's diagonal
+    are skipped at trace time — real FLOP savings with zero control-flow
+    overhead.  Multi-span programs whose span sits entirely above the
+    diagonal skip all compute under one ``pl.when`` (span_start is traced,
+    so trace-time chunk skipping is unavailable); partially-visible spans
+    compute fully and mask.  With traced shard offsets (ring /
+    sequence-parallel) the kernel computes the full span and masks;
+    whole-shard skipping belongs to the caller (parallel/ring.py wraps the
+    shard in one ``lax.cond``) — measured on v5e, per-chunk ``lax.cond``
+    costs more than the MXU work it saves."""
     if has_offsets:
         q_ref, k_ref, v_ref, offs_ref, o_part_ref, lse_ref = refs
         q_pos0 = offs_ref[0, 0]
@@ -82,65 +97,88 @@ def _onepass_partial_kernel(
         )
     c = scale * LOG2E
     q_base = pl.program_id(1) * block_q
+    span_start = pl.program_id(2) * kv_span if multi_span else 0
     k = k_ref[0]
     v = v_ref[0]
 
-    for q0 in range(0, block_q, q_chunk):
-        rows = min(q_chunk, block_q - q0)
-        q = q_ref[0, q0:q0 + rows, :]
-        pieces = []
-        for k0 in range(0, seq_len_kv, kv_chunk):
-            cols = min(kv_chunk, seq_len_kv - k0)
-            k_c = k[k0:k0 + cols, :]
-            if causal and not has_offsets:
-                # static offsets: chunk visible iff its first column is <=
-                # the strip's last row in global coordinates — invisible
-                # chunks cost a constant fill, not a matmul.  q_base is a
-                # traced program id, so use the static worst-case (last) q
-                # block: exact when n_q == 1 (the common op_block_q == Lq
-                # case), conservative otherwise.
-                max_q_base = (cdiv(seq_len_q, block_q) - 1) * block_q
-                visible = (
-                    (k0 + kv_pos0) <= (max_q_base + q0 + rows - 1 + q_pos0)
-                )
-                if not visible:
-                    pieces.append(
-                        jnp.full((rows, cols), NEG_INF, jnp.float32)
+    def span_body():
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            q = q_ref[0, q0:q0 + rows, :]
+            pieces = []
+            for k0 in range(0, kv_span, kv_chunk):
+                cols = min(kv_chunk, kv_span - k0)
+                k_c = k[k0:k0 + cols, :]
+                if causal and not has_offsets and not multi_span:
+                    # static offsets: chunk visible iff its first column is
+                    # <= the strip's last row in global coordinates —
+                    # invisible chunks cost a constant fill, not a matmul.
+                    # q_base is a traced program id, so use the static
+                    # worst-case (last) q block: exact when n_q == 1 (the
+                    # common op_block_q == Lq case), conservative otherwise.
+                    max_q_base = (cdiv(seq_len_q, block_q) - 1) * block_q
+                    visible = (
+                        (k0 + kv_pos0)
+                        <= (max_q_base + q0 + rows - 1 + q_pos0)
                     )
-                    continue
-            pieces.append(jax.lax.dot_general(
-                q, k_c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(q, k_c),
-            ))
-        s = (jnp.concatenate(pieces, axis=1)
-             if len(pieces) > 1 else pieces[0])
+                    if not visible:
+                        pieces.append(
+                            jnp.full((rows, cols), NEG_INF, jnp.float32)
+                        )
+                        continue
+                pieces.append(jax.lax.dot_general(
+                    q, k_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k_c),
+                ))
+            s = (jnp.concatenate(pieces, axis=1)
+                 if len(pieces) > 1 else pieces[0])
 
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(
-                (col + kv_pos0) <= (row + q_base + q0 + q_pos0),
-                s, NEG_INF,
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(
+                    (col + span_start + kv_pos0)
+                    <= (row + q_base + q0 + q_pos0),
+                    s, NEG_INF,
+                )
+
+            m = jnp.max(s, axis=1, keepdims=True)
+            arg = jnp.where(jnp.isneginf(m), NEG_INF, s * c - m * c)
+            p = jnp.exp2(arg)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v),
+            )
+            denom = jnp.where(l == 0.0, 1.0, l)
+            o_part_ref[0, 0, q0:q0 + rows, :] = (pv / denom).astype(
+                o_part_ref.dtype)
+            lse = jnp.where(
+                l[:, 0] == 0.0, NEG_INF, m[:, 0] * scale + jnp.log(l[:, 0])
+            )
+            lse_ref[0, 0, :, q0:q0 + rows] = jnp.broadcast_to(
+                lse[None, :], (8, rows)
             )
 
-        m = jnp.max(s, axis=1, keepdims=True)
-        arg = jnp.where(jnp.isneginf(m), NEG_INF, s * c - m * c)
-        p = jnp.exp2(arg)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=dot_precision(v),
+    if causal and multi_span:
+        # whole-span skip: a span strictly above this q block's diagonal
+        # contributes nothing — emit the neutral (zeros, -inf) partial
+        span_visible = (
+            span_start + kv_pos0 <= q_base + block_q - 1 + q_pos0
         )
-        denom = jnp.where(l == 0.0, 1.0, l)
-        o_part_ref[0, 0, q0:q0 + rows, :] = (pv / denom).astype(
-            o_part_ref.dtype)
-        lse = jnp.where(
-            l[:, 0] == 0.0, NEG_INF, m[:, 0] * scale + jnp.log(l[:, 0])
-        )
-        lse_ref[0, 0, :, q0:q0 + rows] = jnp.broadcast_to(
-            lse[None, :], (8, rows)
-        )
+
+        @pl.when(jnp.logical_not(span_visible))
+        def _dead_span():
+            o_part_ref[...] = jnp.zeros_like(o_part_ref)
+            lse_ref[...] = jnp.full_like(lse_ref, NEG_INF)
+
+        @pl.when(span_visible)
+        def _live_span():
+            span_body()
+    else:
+        span_body()
 
 
 def _splitkv_fwd_kernel(
@@ -334,6 +372,7 @@ def flash_attention_splitkv_partial(
             q_chunk=min(ONEPASS_Q_CHUNK, op_block_q),
             kv_chunk=min(512, lkv),
             block_q=op_block_q,
+            kv_span=lkv,
             seq_len_q=lq,
             seq_len_kv=lkv,
             causal=causal,
@@ -381,6 +420,70 @@ def flash_attention_splitkv_partial(
         return (
             o_part.reshape(b, h, 1, lq, d),
             lse[:, :, 0, :].reshape(b, h, 1, lq),
+        )
+
+    # Multi-span one-pass path: the BlockSpec stages the full kv_span in
+    # VMEM regardless, so whenever the span fits the one-pass budget the
+    # span-local softmax needs no online state — run the strip-mined
+    # single-softmax kernel with a kv_block grid axis.  Requires an aligned
+    # KV length (ragged tails keep the masking streaming kernel).
+    if (n_kb > 1 and fits_onepass(kv_span, d) and lkv % kv_span == 0
+            and config.one_pass is not False):
+        ms_kernel = functools.partial(
+            _onepass_partial_kernel,
+            scale=scale,
+            q_chunk=min(ONEPASS_Q_CHUNK, block_q),
+            kv_chunk=min(512, kv_span),
+            block_q=block_q,
+            kv_span=kv_span,
+            seq_len_q=lq,
+            seq_len_kv=lkv,
+            causal=causal,
+            has_offsets=has_offsets,
+            static_positions=static_positions,
+            multi_span=True,
+        )
+        ms_specs = [
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
+            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+        ]
+        ms_inputs = [qf, kf, vf]
+        if has_offsets:
+            q_pos0, kv_pos0 = positions
+            offs = jnp.stack([
+                jnp.asarray(q_pos0, jnp.int32),
+                jnp.asarray(kv_pos0, jnp.int32),
+            ]).reshape(1, 2)
+            ms_specs.append(
+                pl.BlockSpec((1, 2), lambda bh, qi, kb: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            ms_inputs.append(offs)
+        o_part, lse = pl.pallas_call(
+            ms_kernel,
+            grid=(n_bh, n_q, n_kb),
+            in_specs=ms_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d), lambda bh, qi, kb: (bh, kb, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, block_q), lambda bh, qi, kb: (bh, kb, 0, qi)
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bh, n_kb, lq, d), workspace_dtype),
+                jax.ShapeDtypeStruct((n_bh, n_kb, 8, lq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=_resolve_interpret(interpret),
+        )(*ms_inputs)
+        return (
+            o_part.reshape(b, h, n_kb, lq, d),
+            lse[:, :, 0, :].reshape(b, h, n_kb, lq),
         )
 
     kernel = functools.partial(

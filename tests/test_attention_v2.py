@@ -80,6 +80,52 @@ def test_v2_causal():
     assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
 
 
+def test_v2_multi_span_streaming_fallback():
+    # one_pass=False forces the streaming span kernel on the same shapes
+    # the multi-span one-pass path handles — keeps both in lockstep
+    q, k, v = make_qkv(1, 2, 512, 128, dtype=np.float32, seed=0)
+    cfg = SplitKVConfig(
+        block_q=128, block_kv=128, kv_tiles_per_block=2, one_pass=False
+    )
+    out = run_v2(q, k, v, config=cfg)
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+def test_v2_multi_span_causal_matches_streaming():
+    # causal multi-span: dead-span skip + traced-coordinate masking must
+    # agree with the streaming kernel's per-tile masking
+    q, k, v = make_qkv(1, 2, 512, 64, dtype=np.float32, seed=8)
+    fast = SplitKVConfig(block_q=128, block_kv=128, kv_tiles_per_block=1)
+    slow = SplitKVConfig(
+        block_q=128, block_kv=128, kv_tiles_per_block=1, one_pass=False
+    )
+    a = run_v2(q, k, v, config=fast, causal=True)
+    b = run_v2(q, k, v, config=slow, causal=True)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    assert error_stats(a, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
+
+
+def test_v2_multi_span_positions():
+    # traced shard offsets through the multi-span one-pass path: a shard
+    # whose kv rows start at global position 128 under a causal mask
+    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seq_len_kv=256, seed=9)
+    cfg = SplitKVConfig(block_q=128, block_kv=128, kv_tiles_per_block=1)
+    o_p, lse = flash_attention_splitkv_partial(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), config=cfg,
+        causal=True,
+        positions=(jnp.int32(128), jnp.int32(0)),
+    )
+    out = np.asarray(splitkv_combine(o_p, lse))
+    # oracle: q rows at positions 128..255 attending to kv rows 0..255
+    scale = 1.0 / np.sqrt(64)
+    s = q[0, 0] @ k[0, 0].T * scale
+    mask = np.arange(256)[None, :] <= (np.arange(128) + 128)[:, None]
+    s = np.where(mask, s, -np.inf)
+    p = np.exp(s - s.max(axis=-1, keepdims=True))
+    ref = (p / p.sum(axis=-1, keepdims=True)) @ v[0, 0]
+    np.testing.assert_allclose(out[0, 0], ref, atol=1e-5)
+
+
 def test_v2_ragged_kv():
     # L_kv=300: ragged vs block_kv AND vs kv span
     q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seq_len_kv=300, seed=5)
