@@ -48,6 +48,9 @@ class TileConfig:
     # KV fits VMEM and the call is non-causal), False = always stream
     # (exercises/tunes the online-softmax kernel), True = require it
     one_pass: Optional[bool] = None
+    # rows of scores per softmax strip in the one-pass kernels
+    # (None = auto, 256 — the measured v5e optimum at d=128)
+    q_chunk: Optional[int] = None
 
     def __post_init__(self):
         if self.block_q <= 0 or self.block_kv <= 0:
@@ -59,6 +62,10 @@ class TileConfig:
         for dt in (self.d_tile_qk, self.d_tile_v):
             if dt is not None and (dt <= 0 or dt % 128 != 0):
                 raise ValueError("d tiles must be positive multiples of 128 (TPU lane width)")
+        if self.q_chunk is not None and (
+                self.q_chunk <= 0 or self.q_chunk % 8 != 0):
+            raise ValueError("q_chunk must be a positive multiple of 8 "
+                             "(TPU sublane width)")
 
     def validate_for(self, seq_len_q: int, seq_len_kv: int, head_dim: int) -> None:
         if self.d_tile_qk is not None and head_dim % self.d_tile_qk != 0:

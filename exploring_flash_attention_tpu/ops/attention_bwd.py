@@ -421,15 +421,29 @@ def _fused_bwd_kernel(
     q_dtype,
     k_dtype,
     v_dtype,
+    static_positions=None,
 ):
     """Fused one-pass backward: one program per (b, h) with Q/K/V/dO fully
     VMEM-resident computes dQ, dK and dV together, sharing the S and dP
     recomputation between them — 5 tile matmuls per (q-strip, kv-strip)
-    pair instead of the 7 of the split dQ/dKV kernels, plus exact static
-    causal pair skipping."""
+    pair instead of the 7 of the split dQ/dKV kernels.
+
+    ``static_positions``: compile-time (q_pos0, kv_pos0) — the common
+    training case.  Enables trace-time causal pruning: pairs strictly above
+    the diagonal are not emitted at all, pairs strictly below skip the mask
+    computation, and the empty-row lse guard drops when every row provably
+    has a visible column.  Traced positions (SMEM offs) fall back to
+    runtime ``pl.when`` gating + per-pair masks."""
     c = scale * LOG2E
-    q_pos0 = offs_ref[0, 0]
-    kv_pos0 = offs_ref[0, 1]
+    static = static_positions is not None
+    if static:
+        q_pos0, kv_pos0 = static_positions
+    else:
+        q_pos0 = offs_ref[0, 0]
+        kv_pos0 = offs_ref[0, 1]
+    # every q row sees >= 1 column (lse finite) iff row 0's position is >=
+    # the first kv position — provable only with static offsets
+    guard_empty_rows = causal and not (static and q_pos0 >= kv_pos0)
 
     dq_acc[...] = jnp.zeros_like(dq_acc)
     dk_acc[...] = jnp.zeros_like(dk_acc)
@@ -442,13 +456,20 @@ def _fused_bwd_kernel(
         for q0 in range(0, seq_len_q, q_strip):
             rows = min(q_strip, seq_len_q - q0)
             if causal:
-                visible = (k0 + offs_ref[0, 1]) <= (
-                    q0 + rows - 1 + offs_ref[0, 0])
+                visible = (k0 + kv_pos0) <= (q0 + rows - 1 + q_pos0)
+                if static and not visible:
+                    continue                       # pruned at trace time
+                # pair strictly below the diagonal => no masking needed
+                mask_free = static and (
+                    (k0 + cols - 1 + kv_pos0) <= (q0 + q_pos0)
+                )
             else:
                 visible = True
+                mask_free = True
 
-            @pl.when(visible)
-            def _pair(q0=q0, rows=rows, k0=k0, cols=cols, k=k, v=v):
+            @pl.when(True if static else visible)
+            def _pair(q0=q0, rows=rows, k0=k0, cols=cols, k=k, v=v,
+                      mask_free=mask_free):
                 q = q_ref[0, q0:q0 + rows, :]
                 do = do_ref[0, q0:q0 + rows, :]
                 lse_row = lse_ref[0, 0, q0:q0 + rows][:, None]
@@ -460,14 +481,15 @@ def _fused_bwd_kernel(
                     precision=dot_precision(q, k),
                 )
                 arg = s * c - lse_row * LOG2E
-                if causal:
+                if causal and not mask_free:
                     row = jax.lax.broadcasted_iota(
                         jnp.int32, (rows, cols), 0)
                     col = jax.lax.broadcasted_iota(
                         jnp.int32, (rows, cols), 1)
                     cm = (col + k0 + kv_pos0) <= (row + q0 + q_pos0)
                     arg = jnp.where(cm, arg, NEG_INF)
-                arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
+                if guard_empty_rows:
+                    arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
                 p = jnp.exp2(arg)
 
                 p_lp = p.astype(q.dtype)
@@ -507,7 +529,8 @@ def _pad_stats(x: jax.Array, n_bh: int, l: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "causal", "scale", "interpret"),
+    static_argnames=("config", "causal", "scale", "interpret",
+                     "static_positions"),
 )
 def flash_attention_bwd(
     q: jax.Array,                  # [B, H, Lq, d]
@@ -521,8 +544,15 @@ def flash_attention_bwd(
     causal: bool = False,
     interpret: Optional[bool] = None,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
+    static_positions: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Tiled flash-attention backward: returns (dq, dk, dv)."""
+    """Tiled flash-attention backward: returns (dq, dk, dv).
+
+    ``static_positions``: compile-time (q_pos0, kv_pos0) — lets the fused
+    kernel prune causal work at trace time.  Mutually exclusive with the
+    traced ``positions``."""
+    if positions is not None and static_positions is not None:
+        raise ValueError("pass positions OR static_positions, not both")
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     if scale is None:
@@ -534,7 +564,11 @@ def flash_attention_bwd(
     n_kv = cdiv(lkv, block_kv)
     interp = _resolve_interpret(interpret)
 
-    if positions is None:
+    if static_positions is not None:
+        q_pos0 = jnp.int32(static_positions[0])
+        kv_pos0 = jnp.int32(static_positions[1])
+    elif positions is None:
+        static_positions = (lkv - lq, 0)       # decode convention, static
         q_pos0 = jnp.int32(lkv - lq)
         kv_pos0 = jnp.int32(0)
     else:
@@ -559,10 +593,14 @@ def flash_attention_bwd(
         fused_kernel = functools.partial(
             _fused_bwd_kernel,
             scale=scale,
-            q_strip=min(256, lq),
-            kv_strip=min(512, lkv),
+            # 512-row strips measured best for the fused bwd (the forward's
+            # 256-row optimum does not transfer: 5 matmuls per pair amortize
+            # more VPU work per strip; scripts/ab_bwd_strips.py)
+            q_strip=min(config.q_chunk or 512, lq),
+            kv_strip=min(config.block_kv, lkv),
             seq_len_q=lq, seq_len_kv=lkv, causal=causal,
             q_dtype=q.dtype, k_dtype=k.dtype, v_dtype=v.dtype,
+            static_positions=static_positions,
         )
         dq, dk, dv = pl.pallas_call(
             fused_kernel,

@@ -288,6 +288,7 @@ def _flash_attention_v1_onepass(
     scale: float,
     out_dtype,
     interpret: bool,
+    q_chunk: Optional[int] = None,
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
@@ -297,7 +298,7 @@ def _flash_attention_v1_onepass(
     kernel = functools.partial(
         _v1_onepass_kernel,
         scale=scale,
-        q_chunk=min(ONEPASS_Q_CHUNK, block_q),
+        q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
         seq_len_kv=lkv,
     )
     flops = 4 * n_bh * lq * lkv * d
@@ -381,7 +382,8 @@ def flash_attention_v1(
         )
     if eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass(
-            qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret)
+            qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
+            q_chunk=config.q_chunk,
         )
         return out.reshape(b, h, lq, d)
 

@@ -99,7 +99,7 @@ def _bwd_static(config, scale, causal, interpret, static_positions, res, g):
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, g, lse,
         config=config, scale=scale, causal=causal, interpret=interpret,
-        positions=tuple(jnp.int32(p) for p in static_positions),
+        static_positions=tuple(int(p) for p in static_positions),
     )
     return dq, dk, dv
 
