@@ -717,6 +717,39 @@ def flash_attention_bwd(
         (1, 2), lambda bh, i, j: (0, 0), memory_space=pltpu.SMEM
     )
 
+    # Causal dead-pair fetch clamps (possible only at static positions):
+    # pairs the kernels skip via pl.when would otherwise still stream
+    # their Q/dO (dkv grid) or K/V (dq grid) blocks from HBM — a repeated
+    # block index elides the fetch, ~2x HBM traffic saved for causal
+    # long-context training (the tiled fallback is the L > one-pass-budget
+    # tier).  Mirrors the forward kernel's kv_block_index clamp.
+    if causal and static_positions is not None:
+        sp_q0, sp_kv0 = static_positions
+
+        def dkv_q_index(bh, ki, qi):
+            # first q block visible from kv tile ki:
+            # ceil((ki*BK + kv0 - q0 - BQ + 1) / BQ) simplifies to this
+            qmin = (ki * block_kv + sp_kv0 - sp_q0) // block_q
+            return (bh, jnp.maximum(qi, jnp.clip(qmin, 0, n_q - 1)), 0)
+
+        def dkv_stats_index(bh, ki, qi):
+            qmin = (ki * block_kv + sp_kv0 - sp_q0) // block_q
+            return (bh, 0, jnp.maximum(qi, jnp.clip(qmin, 0, n_q - 1)))
+
+        def dq_kv_index(bh, qi, ki):
+            # last kv tile visible from q block qi
+            kmax = (qi * block_q + block_q - 1 + sp_q0 - sp_kv0) // block_kv
+            return (bh, jnp.minimum(ki, jnp.clip(kmax, 0, n_kv - 1)), 0)
+    else:
+        def dkv_q_index(bh, ki, qi):
+            return (bh, qi, 0)
+
+        def dkv_stats_index(bh, ki, qi):
+            return (bh, 0, qi)
+
+        def dq_kv_index(bh, qi, ki):
+            return (bh, ki, 0)
+
     # ---- dK / dV ----
     dkv_kernel = functools.partial(
         _dkv_kernel,
@@ -727,12 +760,12 @@ def flash_attention_bwd(
         dkv_kernel,
         grid=(n_bh, n_kv, n_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, d), dkv_q_index),
             pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
             pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi: (bh, 0, qi)),
-            pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, block_q, d), dkv_q_index),
+            pl.BlockSpec((1, 8, block_q), dkv_stats_index),
+            pl.BlockSpec((1, 8, block_q), dkv_stats_index),
             pl.BlockSpec((1, 2), lambda bh, ki, qi: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -765,8 +798,8 @@ def flash_attention_bwd(
         grid=(n_bh, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), dq_kv_index),
+            pl.BlockSpec((1, block_kv, d), dq_kv_index),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
             stats_spec_q,
             stats_spec_q,

@@ -398,14 +398,36 @@ def flash_attention_v1(
         window=window,
     )
 
+    # Causal/windowed K/V index maps clamp to the visible tile range for
+    # each q block: tiles the kernel skips via pl.when would otherwise
+    # still stream their (dead) K/V blocks from HBM — a repeated block
+    # index makes Pallas elide the fetch entirely (≈2x HBM traffic saved
+    # for causal, more for narrow windows).
+    if causal:
+        diag_off = lkv - lq
+
+        def kv_block_index(bh, qi, ki):
+            vis_max = ((qi + 1) * block_q - 1 + diag_off) // block_kv
+            vis_max = jnp.clip(vis_max, 0, n_kv - 1)
+            ki_eff = jnp.minimum(ki, vis_max)
+            if window is not None:
+                vis_min = jnp.maximum(
+                    (qi * block_q + diag_off - window + 1) // block_kv, 0
+                )
+                ki_eff = jnp.maximum(ki_eff, vis_min)
+            return (bh, ki_eff, 0)
+    else:
+        def kv_block_index(bh, qi, ki):
+            return (bh, ki, 0)
+
     flops = 4 * n_bh * lq * lkv * d
     out = pl.pallas_call(
         kernel,
         grid=(n_bh, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), kv_block_index),
+            pl.BlockSpec((1, block_kv, d), kv_block_index),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),

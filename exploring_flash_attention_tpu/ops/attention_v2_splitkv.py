@@ -443,10 +443,29 @@ def flash_attention_splitkv_partial(
             static_positions=static_positions,
             multi_span=True,
         )
+        # clamp dead causal spans' K/V fetches (the kernel skips their
+        # compute under pl.when, but a distinct block index would still
+        # stream the span from HBM); only possible at static positions
+        if causal and not has_offsets:
+            sp_q_pos0, sp_kv_pos0 = (
+                static_positions if static_positions is not None
+                else (lkv - lq, 0)
+            )
+
+            def span_index(bh, qi, kb):
+                vis_max = (
+                    qi * block_q + block_q - 1 + sp_q_pos0 - sp_kv_pos0
+                ) // kv_span
+                return (bh, jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)),
+                        0)
+        else:
+            def span_index(bh, qi, kb):
+                return (bh, kb, 0)
+
         ms_specs = [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
-            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
-            pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+            pl.BlockSpec((1, kv_span, d), span_index),
+            pl.BlockSpec((1, kv_span, d), span_index),
         ]
         ms_inputs = [qf, kf, vf]
         if has_offsets:
@@ -498,10 +517,27 @@ def flash_attention_splitkv_partial(
         has_offsets=has_offsets,
         static_positions=static_positions,
     )
+    # same dead-span fetch clamp as the one-pass path (kernel-side tile
+    # skipping never sees the fetch index, only grid ids)
+    if causal and not has_offsets:
+        st_q_pos0, st_kv_pos0 = (
+            static_positions if static_positions is not None
+            else (lkv - lq, 0)
+        )
+
+        def stream_span_index(bh, qi, kb):
+            vis_max = (
+                qi * block_q + block_q - 1 + st_q_pos0 - st_kv_pos0
+            ) // kv_span
+            return (bh, jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)), 0)
+    else:
+        def stream_span_index(bh, qi, kb):
+            return (bh, kb, 0)
+
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
-        pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
-        pl.BlockSpec((1, kv_span, d), lambda bh, qi, kb: (bh, kb, 0)),
+        pl.BlockSpec((1, kv_span, d), stream_span_index),
+        pl.BlockSpec((1, kv_span, d), stream_span_index),
     ]
     inputs = [qf, kf, vf]
     if has_offsets:

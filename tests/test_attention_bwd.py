@@ -119,3 +119,33 @@ def test_bwd_positions_offset_causal():
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-2,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_tiled_fallback(causal, monkeypatch):
+    # Force the fully-tiled dKV/dQ grids (the L > one-pass-budget tier,
+    # incl. the causal dead-pair fetch clamps) at a test-sized L.
+    from exploring_flash_attention_tpu.ops import attention_bwd as bwd_mod
+
+    monkeypatch.setattr(bwd_mod, "fits_onepass", lambda *a, **k: False)
+    # distinctive shape so no earlier trace of flash_attention_bwd with
+    # identical (shapes, statics) can be reused from the jit cache
+    lq = lkv = 160
+    q, k, v = make_qkv(1, 2, 160, 32, dtype=np.float32, seed=6)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    g = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 2, lq, 32)),
+        dtype=jnp.float32,
+    )
+    cfg = TileConfig(block_q=32, block_kv=32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, config=cfg, causal=causal) * g)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = _ref_grads(q, k, v, g, causal)
+    for got, ref, name in [(dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-2,
+            err_msg=name,
+        )
