@@ -375,6 +375,27 @@ def bench_long_context():
          f"{sec*1e3:.3f} ms causal L=32K")
 
 
+def bench_sliding_window_32k():
+    """Sliding-window (local) attention at L=32768, window=4096: both the
+    above-diagonal AND the before-the-band tiles are skipped and their
+    K/V fetches clamped away — useful FLOPs scale with L*window, not L^2."""
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
+
+    b, h, l, d, window = 1, 8, 32768, 128, 4096
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=1024, block_kv=1024)
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1(x, kb, vb, config=cfg, causal=True,
+                                     window=window),
+        qb, n_long=6, n_short=2)
+    # useful FLOPs: each query row attends to <= window keys
+    flops = 4 * b * h * l * window * d
+    emit("fwd_sliding_window_32k_tflops", flops / sec / 1e12, "TFLOP/s",
+         None, f"{sec*1e3:.3f} ms causal L=32K w=4096")
+
+
 ALL = {
     "fwd_d128": bench_fwd_d128,
     "fwd_d32": bench_fwd_d32,
@@ -387,6 +408,7 @@ ALL = {
     "generate_e2e": bench_generate_e2e,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "long_context": bench_long_context,
+    "sliding_window_32k": bench_sliding_window_32k,
 }
 
 

@@ -140,6 +140,15 @@ def sample(
     ).astype(jnp.int32)
 
 
+@jax.jit
+def _append_all_layers(caches, slots, kvs):
+    """Prompt-append across every layer's cache in ONE device execution
+    (per-layer calls were one dispatch each — tunnel latency adds up)."""
+    return tuple(
+        append_prompts(c, slots, k, v) for c, (k, v) in zip(caches, kvs)
+    )
+
+
 class GenerationEngine:
     """Batch text generation over per-layer paged INT8 KV-caches."""
 
@@ -175,18 +184,22 @@ class GenerationEngine:
 
     def _map_slots(self, bsz: int) -> jax.Array:
         # one page map shared by every layer's cache (layers use the same
-        # slot/page geometry; tables are kept identical)
+        # slot/page geometry; tables are kept identical).  The table is
+        # assembled host-side and shipped as ONE transfer — per-slot
+        # ``.at[].set`` updates were 2 device executions per (slot, layer),
+        # ~1 s of fixed dispatch latency over the tunnel per generate().
         self._mapped_pages = []
+        table = np.zeros((self.max_seqs, self.pages_per_seq), np.int32)
         for s in range(bsz):
             pages = self.allocator.alloc(self.pages_per_seq)
             self._mapped_pages.extend(pages)
-            pages = jnp.asarray(pages, jnp.int32)
-            for i, cache in enumerate(self.caches):
-                self.caches[i] = dataclasses.replace(
-                    cache,
-                    page_table=cache.page_table.at[s, :len(pages)].set(pages),
-                    seq_lens=cache.seq_lens.at[s].set(0),
-                )
+            table[s, :len(pages)] = pages
+        tablej = jnp.asarray(table)
+        lens = jnp.zeros((self.max_seqs,), jnp.int32)
+        for i, cache in enumerate(self.caches):
+            self.caches[i] = dataclasses.replace(
+                cache, page_table=tablej, seq_lens=lens
+            )
         return jnp.arange(bsz, dtype=jnp.int32)
 
     def _release_slots(self) -> None:
@@ -210,9 +223,9 @@ class GenerationEngine:
             logits, kvs = forward_collect_kv(
                 self.params, prompt, self.config, interpret=self.interpret
             )
-            for li, (k, v) in enumerate(kvs):
-                self.caches[li] = append_prompts(
-                    self.caches[li], slots, k, v)
+            self.caches = list(_append_all_layers(
+                tuple(self.caches), slots, tuple(kvs)
+            ))
 
             rng = jax.random.PRNGKey(seed)
             rng, sub = jax.random.split(rng)
