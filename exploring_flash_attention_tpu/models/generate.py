@@ -140,15 +140,6 @@ def sample(
     ).astype(jnp.int32)
 
 
-@jax.jit
-def _append_all_layers(caches, slots, kvs):
-    """Prompt-append across every layer's cache in ONE device execution
-    (per-layer calls were one dispatch each — tunnel latency adds up)."""
-    return tuple(
-        append_prompts(c, slots, k, v) for c, (k, v) in zip(caches, kvs)
-    )
-
-
 class GenerationEngine:
     """Batch text generation over per-layer paged INT8 KV-caches."""
 
@@ -219,39 +210,40 @@ class GenerationEngine:
             raise ValueError(f"batch {bsz} > max_seqs {self.max_seqs}")
         slots = self._map_slots(bsz)
         try:
-            # ---- prefill: full forward + quantized cache population ----
-            logits, kvs = forward_collect_kv(
-                self.params, prompt, self.config, interpret=self.interpret
-            )
-            self.caches = list(_append_all_layers(
-                tuple(self.caches), slots, tuple(kvs)
-            ))
-
+            # one device execution for prefill + cache population + the
+            # whole decode scan — over the tunnel every chained dispatch
+            # pays its own latency, so the fewer executions the better
             rng = jax.random.PRNGKey(seed)
-            rng, sub = jax.random.split(rng)
-            tok = sample(logits[:, -1, :], sub, temperature)  # first token
-
-            # ---- decode loop: one jitted lax.scan over steps (caches are
-            # the carry) — a single device program, no per-token host
-            # round-trips ----
-            toks, self.caches = self._decode_loop(
-                max_new_tokens - 1, temperature
-            )(self.params, tok, tuple(self.caches), slots, rng)
-            self.caches = list(self.caches)
-            out = jnp.concatenate([tok[:, None], toks.T], axis=1)
+            out, caches = self._generate_fn(max_new_tokens, temperature)(
+                self.params, prompt, tuple(self.caches), slots, rng
+            )
+            self.caches = list(caches)
             return np.asarray(out)
         finally:
             self._release_slots()               # engine stays reusable
 
-    def _decode_loop(self, n_steps: int, temperature: float):
-        key = (n_steps, temperature)
+    def _generate_fn(self, max_new_tokens: int, temperature: float):
+        key = (max_new_tokens, temperature)
         fn = self._loop_cache.get(key)
         if fn is not None:
             return fn
         config, interpret = self.config, self.interpret
 
         @jax.jit
-        def run(params, tok0, caches, slots, rng):
+        def run(params, prompt, caches, slots, rng):
+            # ---- prefill: full forward + quantized cache population ----
+            logits, kvs = forward_collect_kv(
+                params, prompt, config, interpret=interpret
+            )
+            caches = tuple(
+                append_prompts(c, slots, k, v)
+                for c, (k, v) in zip(caches, kvs)
+            )
+            rng, sub = jax.random.split(rng)
+            tok0 = sample(logits[:, -1, :], sub, temperature)
+
+            # ---- decode: one lax.scan over steps (caches are the carry,
+            # no per-token host round-trips) ----
             def body(carry, _):
                 tok, caches, rng = carry
                 logits, caches = _decode_forward(
@@ -263,9 +255,11 @@ class GenerationEngine:
                 return (tok, tuple(caches), rng), tok
 
             (_, caches, _), toks = jax.lax.scan(
-                body, (tok0, caches, rng), None, length=n_steps
+                body, (tok0, caches, rng), None,
+                length=max_new_tokens - 1,
             )
-            return toks, caches             # toks: [n_steps, B]
+            out = jnp.concatenate([tok0[:, None], toks.T], axis=1)
+            return out, caches              # out: [B, max_new_tokens]
 
         self._loop_cache[key] = run
         return run
