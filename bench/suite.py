@@ -375,6 +375,48 @@ def bench_long_context():
          f"{sec*1e3:.3f} ms causal L=32K")
 
 
+def bench_int8_prefill_4k():
+    """INT8-QKV at a long-prefill shape (L=4096): the per-call Q
+    quantization amortizes over 4x the KV work and the int8 MXU edge
+    shows — measured faster than the bf16 one-pass kernel here, unlike at
+    L=1024 (scripts/ab_int8_prefill.py)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops.attention_int8 import (
+        flash_attention_int8,
+    )
+    from exploring_flash_attention_tpu.ops.quant import dequantize, quantize_int8
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 8, 8, 4096, 128
+    cfg = TileConfig(block_q=512, block_kv=512)
+
+    qs, ks, vs = _qkv_bf16(1, 2, 512, d, seed=0)
+    qq = quantize_int8(qs, block=512)
+    kq, vq = quantize_int8(ks, block=512), quantize_int8(vs, block=512)
+    ref = naive_attention(
+        np.asarray(dequantize(qq)), np.asarray(dequantize(kq)),
+        np.asarray(dequantize(vq)))
+    out = np.asarray(flash_attention_int8(
+        qq, kq, vq, config=cfg, out_dtype=jnp.float32))
+    err = gate(out, ref, 1.5e-3, "int8_prefill_4k")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    kq, vq = quantize_int8(kb, block=512), quantize_int8(vb, block=512)
+
+    def step(x):
+        xq = quantize_int8(x, block=512)
+        return flash_attention_int8(xq, kq, vq, config=cfg)
+
+    flops = attention_flops(b, h, l, l, d)
+    sec = time_fn_chained(step, qb, n_long=12, n_short=3)
+    emit("fwd_int8_prefill_4k_tflops", flops / sec / 1e12, "TFLOP/s",
+         None, f"{sec*1e3:.3f} ms incl. per-step Q quant, gate {err:.1e}")
+
+
 def bench_sliding_window_32k():
     """Sliding-window (local) attention at L=32768, window=4096: both the
     above-diagonal AND the before-the-band tiles are skipped and their
@@ -409,6 +451,7 @@ ALL = {
     "train_fwd_bwd": bench_train_fwd_bwd,
     "long_context": bench_long_context,
     "sliding_window_32k": bench_sliding_window_32k,
+    "int8_prefill_4k": bench_int8_prefill_4k,
 }
 
 

@@ -293,6 +293,12 @@ def _flash_attention_v1_onepass(
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
     block_q = min(1024, lq) if lq % 1024 == 0 or lq <= 1024 else 512
+    # Mosaic keeps every unrolled strip's f32 score buffer live on the
+    # kernel stack (block_q * lkv * 4 bytes total regardless of q_chunk) —
+    # at lkv=4096 a 1024-row block is 16 MB and blows the 16 MB scoped-vmem
+    # limit.  Cap the block so the strip total stays <= 8 MB.
+    while block_q > 256 and block_q * lkv * 4 > 8 * 1024 * 1024:
+        block_q //= 2
     block_q = min(block_q, max(lq, 8))
     n_q = cdiv(lq, block_q)
     kernel = functools.partial(

@@ -365,6 +365,10 @@ def flash_attention_splitkv_partial(
             and config.one_pass is not False):
         op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
             else block_q
+        # same scoped-vmem cap as the one-pass forward: all unrolled
+        # strips' f32 score buffers stay live (block_q * lkv * 4 bytes)
+        while op_block_q > 256 and op_block_q * lkv * 4 > 8 * 1024 * 1024:
+            op_block_q //= 2
         op_n_q = cdiv(lq, op_block_q)
         op_kernel = functools.partial(
             _onepass_partial_kernel,
