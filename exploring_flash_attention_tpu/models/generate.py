@@ -208,8 +208,11 @@ class GenerationEngine:
         bsz, l_prompt = prompt.shape
         if bsz > self.max_seqs:
             raise ValueError(f"batch {bsz} > max_seqs {self.max_seqs}")
-        slots = self._map_slots(bsz)
         try:
+            # inside the try so a partial allocation (alloc raising midway
+            # through the slot loop) still reaches _release_slots — the
+            # pages recorded so far would otherwise leak permanently
+            slots = self._map_slots(bsz)
             # one device execution for prefill + cache population + the
             # whole decode scan — over the tunnel every chained dispatch
             # pays its own latency, so the fewer executions the better

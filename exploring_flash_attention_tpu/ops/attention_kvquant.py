@@ -38,6 +38,7 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
     ONEPASS_Q_CHUNK,
     STATS_LANES,
     _resolve_interpret,
+    cap_onepass_block_q,
     fits_onepass,
 )
 from exploring_flash_attention_tpu.ops.quant import QuantizedTensor
@@ -210,10 +211,7 @@ def flash_attention_kvquant(
     if fits_onepass(lkv, d) and config.one_pass is not False:
         op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
             else block_q
-        # scoped-vmem cap: all unrolled strips' f32 score buffers stay
-        # live (block_q * lkv * 4 bytes) — see attention_v1
-        while op_block_q > 256 and op_block_q * lkv * 4 > 8 * 1024 * 1024:
-            op_block_q //= 2
+        op_block_q = cap_onepass_block_q(op_block_q, lkv)
         op_kernel = functools.partial(
             _kvquant_onepass_kernel,
             scale=scale,

@@ -76,6 +76,24 @@ def fits_onepass(lkv: int, d: int) -> bool:
     return lkv <= ONEPASS_MAX_KV and lkv * d <= ONEPASS_MAX_KV_ELEMS
 
 
+# Budget for the unrolled strips' f32 score buffers: Mosaic keeps every
+# strip's buffer live on the kernel stack (block_q * lkv * 4 bytes total
+# regardless of q_chunk), and the scoped-vmem limit is 16 MB — leave the
+# other half for K/V/Q/output blocks.
+ONEPASS_STRIP_BYTES = 8 * 1024 * 1024
+
+
+def cap_onepass_block_q(block_q: int, lkv: int) -> int:
+    """Shrink a one-pass q block until its live strip total fits the
+    scoped-VMEM budget.  Only halves blocks that stay multiples of 8
+    (the Pallas TPU block-shape rule) — an already-odd block like
+    block_q == lq == 520 is left alone, matching pre-cap behavior."""
+    while (block_q > 256 and block_q % 16 == 0
+           and block_q * lkv * 4 > ONEPASS_STRIP_BYTES):
+        block_q //= 2
+    return block_q
+
+
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
     if interpret is not None:
         return interpret
@@ -293,12 +311,7 @@ def _flash_attention_v1_onepass(
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
     block_q = min(1024, lq) if lq % 1024 == 0 or lq <= 1024 else 512
-    # Mosaic keeps every unrolled strip's f32 score buffer live on the
-    # kernel stack (block_q * lkv * 4 bytes total regardless of q_chunk) —
-    # at lkv=4096 a 1024-row block is 16 MB and blows the 16 MB scoped-vmem
-    # limit.  Cap the block so the strip total stays <= 8 MB.
-    while block_q > 256 and block_q * lkv * 4 > 8 * 1024 * 1024:
-        block_q //= 2
+    block_q = cap_onepass_block_q(block_q, lkv)
     block_q = min(block_q, max(lq, 8))
     n_q = cdiv(lq, block_q)
     kernel = functools.partial(

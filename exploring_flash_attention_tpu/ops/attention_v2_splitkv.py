@@ -42,6 +42,7 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
     ONEPASS_Q_CHUNK,
     STATS_LANES,
     _resolve_interpret,
+    cap_onepass_block_q,
     dot_precision,
     fits_onepass,
 )
@@ -365,10 +366,7 @@ def flash_attention_splitkv_partial(
             and config.one_pass is not False):
         op_block_q = min(1024, max(lq, 8)) if lq <= 1024 or lq % 1024 == 0 \
             else block_q
-        # same scoped-vmem cap as the one-pass forward: all unrolled
-        # strips' f32 score buffers stay live (block_q * lkv * 4 bytes)
-        while op_block_q > 256 and op_block_q * lkv * 4 > 8 * 1024 * 1024:
-            op_block_q //= 2
+        op_block_q = cap_onepass_block_q(op_block_q, lkv)
         op_n_q = cdiv(lq, op_block_q)
         op_kernel = functools.partial(
             _onepass_partial_kernel,
@@ -426,30 +424,11 @@ def flash_attention_splitkv_partial(
             lse[:, :, 0, :].reshape(b, h, 1, lq),
         )
 
-    # Multi-span one-pass path: the BlockSpec stages the full kv_span in
-    # VMEM regardless, so whenever the span fits the one-pass budget the
-    # span-local softmax needs no online state — run the strip-mined
-    # single-softmax kernel with a kv_block grid axis.  Requires an aligned
-    # KV length (ragged tails keep the masking streaming kernel).
-    if (n_kb > 1 and fits_onepass(kv_span, d) and lkv % kv_span == 0
-            and config.one_pass is not False):
-        ms_kernel = functools.partial(
-            _onepass_partial_kernel,
-            scale=scale,
-            q_chunk=min(ONEPASS_Q_CHUNK, block_q),
-            kv_chunk=min(512, kv_span),
-            block_q=block_q,
-            kv_span=kv_span,
-            seq_len_q=lq,
-            seq_len_kv=lkv,
-            causal=causal,
-            has_offsets=has_offsets,
-            static_positions=static_positions,
-            multi_span=True,
-        )
-        # clamp dead causal spans' K/V fetches (the kernel skips their
-        # compute under pl.when, but a distinct block index would still
-        # stream the span from HBM); only possible at static positions
+    def make_span_index(bq):
+        # clamp dead causal spans' K/V fetches (the kernels skip their
+        # compute via grid-id predicates, but a distinct block index would
+        # still stream the span from HBM); only possible at static
+        # positions
         if causal and not has_offsets:
             sp_q_pos0, sp_kv_pos0 = (
                 static_positions if static_positions is not None
@@ -458,16 +437,41 @@ def flash_attention_splitkv_partial(
 
             def span_index(bh, qi, kb):
                 vis_max = (
-                    qi * block_q + block_q - 1 + sp_q_pos0 - sp_kv_pos0
+                    qi * bq + bq - 1 + sp_q_pos0 - sp_kv_pos0
                 ) // kv_span
                 return (bh, jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)),
                         0)
         else:
             def span_index(bh, qi, kb):
                 return (bh, kb, 0)
+        return span_index
 
+    # Multi-span one-pass path: the BlockSpec stages the full kv_span in
+    # VMEM regardless, so whenever the span fits the one-pass budget the
+    # span-local softmax needs no online state — run the strip-mined
+    # single-softmax kernel with a kv_block grid axis.  Requires an aligned
+    # KV length (ragged tails keep the masking streaming kernel).
+    if (n_kb > 1 and fits_onepass(kv_span, d) and lkv % kv_span == 0
+            and config.one_pass is not False):
+        ms_block_q = cap_onepass_block_q(block_q, kv_span)
+        ms_n_q = cdiv(lq, ms_block_q)
+        ms_kernel = functools.partial(
+            _onepass_partial_kernel,
+            scale=scale,
+            q_chunk=min(ONEPASS_Q_CHUNK, ms_block_q),
+            kv_chunk=min(512, kv_span),
+            block_q=ms_block_q,
+            kv_span=kv_span,
+            seq_len_q=lq,
+            seq_len_kv=lkv,
+            causal=causal,
+            has_offsets=has_offsets,
+            static_positions=static_positions,
+            multi_span=True,
+        )
+        span_index = make_span_index(ms_block_q)
         ms_specs = [
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
+            pl.BlockSpec((1, ms_block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
             pl.BlockSpec((1, kv_span, d), span_index),
             pl.BlockSpec((1, kv_span, d), span_index),
         ]
@@ -485,14 +489,14 @@ def flash_attention_splitkv_partial(
             ms_inputs.append(offs)
         o_part, lse = pl.pallas_call(
             ms_kernel,
-            grid=(n_bh, n_q, n_kb),
+            grid=(n_bh, ms_n_q, n_kb),
             in_specs=ms_specs,
             out_specs=[
                 pl.BlockSpec(
-                    (1, 1, block_q, d), lambda bh, qi, kb: (bh, kb, qi, 0)
+                    (1, 1, ms_block_q, d), lambda bh, qi, kb: (bh, kb, qi, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, 8, block_q), lambda bh, qi, kb: (bh, kb, 0, qi)
+                    (1, 1, 8, ms_block_q), lambda bh, qi, kb: (bh, kb, 0, qi)
                 ),
             ],
             out_shape=[
@@ -521,23 +525,7 @@ def flash_attention_splitkv_partial(
         has_offsets=has_offsets,
         static_positions=static_positions,
     )
-    # same dead-span fetch clamp as the one-pass path (kernel-side tile
-    # skipping never sees the fetch index, only grid ids)
-    if causal and not has_offsets:
-        st_q_pos0, st_kv_pos0 = (
-            static_positions if static_positions is not None
-            else (lkv - lq, 0)
-        )
-
-        def stream_span_index(bh, qi, kb):
-            vis_max = (
-                qi * block_q + block_q - 1 + st_q_pos0 - st_kv_pos0
-            ) // kv_span
-            return (bh, jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)), 0)
-    else:
-        def stream_span_index(bh, qi, kb):
-            return (bh, kb, 0)
-
+    stream_span_index = make_span_index(block_q)
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0)),
         pl.BlockSpec((1, kv_span, d), stream_span_index),

@@ -24,13 +24,19 @@ def time_fn_chained(
     x0: jax.Array,
     n_long: int = 24,
     n_short: int = 4,
-    reps: int = 3,
+    reps: int = 4,
 ) -> float:
-    """Median per-iteration seconds of ``x -> fn(x)`` chained on-device.
+    """Per-iteration seconds of ``x -> fn(x)`` chained on-device.
 
     ``fn`` must map an array to an array of the same shape/dtype (attention
     with q := output does).  The scan carry creates the data dependency that
     prevents XLA from parallelizing or eliminating iterations.
+
+    Each chain length is timed ``reps`` times and the MINIMUM is used
+    before differencing: tunnel pauses only ever inflate a measurement,
+    and a pause landing in a *short* run makes the paired difference
+    under-estimate the per-iteration time (observed as a >100%-of-roofline
+    reading).  min(long) - min(short) is robust to one-sided noise.
     """
 
     def chain(n):
@@ -47,17 +53,15 @@ def time_fn_chained(
     float(run_long(x0))
     float(run_short(x0))
 
-    deltas = []
+    shorts, longs = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run_short(x0))
-        t_short = time.perf_counter() - t0
+        shorts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(run_long(x0))
-        t_long = time.perf_counter() - t0
-        deltas.append((t_long - t_short) / (n_long - n_short))
-    deltas.sort()
-    return deltas[len(deltas) // 2]
+        longs.append(time.perf_counter() - t0)
+    return (min(longs) - min(shorts)) / (n_long - n_short)
 
 
 def attention_flops(b: int, h: int, lq: int, lkv: int, d: int, causal: bool = False) -> int:

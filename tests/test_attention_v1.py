@@ -137,3 +137,28 @@ def test_v1_window_requires_causal():
     q, k, v = make_qkv(1, 1, 64, 64, dtype=np.float32, seed=12)
     with pytest.raises(ValueError, match="causal"):
         run_v1(q, k, v, window=16)
+
+
+def test_cap_onepass_block_q():
+    from exploring_flash_attention_tpu.ops.attention_v1 import (
+        cap_onepass_block_q,
+    )
+
+    # block_q * lkv * 4 bytes of live strip buffers must fit 8 MB
+    assert cap_onepass_block_q(1024, 1024) == 1024
+    assert cap_onepass_block_q(1024, 2048) == 1024
+    assert cap_onepass_block_q(1024, 4096) == 512     # 16 MB -> halve
+    assert cap_onepass_block_q(512, 8192) == 256
+    # odd whole-sequence blocks (block_q == lq) are never broken: halving
+    # 520 would violate the multiple-of-8 block-shape rule
+    assert cap_onepass_block_q(520, 4096) == 520
+
+
+def test_v1_onepass_odd_block_long_kv():
+    # lq=520 (block_q == lq, not a multiple of 16) with lkv=4096: the
+    # scoped-VMEM cap must not halve the block into a shape Pallas rejects
+    q, k, v = make_qkv(1, 1, 520, 32, dtype=np.float32, seq_len_kv=4096,
+                       seed=13)
+    out = run_v1(q, k, v)
+    ref = naive_attention(q, k, v)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
