@@ -72,10 +72,7 @@ def forward_collect_kv(
             q = rope(q, pos, c.rope_theta)
             k = rope(k, pos, c.rope_theta)   # cache stores post-rotation K
         kvs.append((k, v))                           # [B, Hkv, L, d]
-        rep = q.shape[1] // k.shape[1]
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
+        # GQA handled natively by the kernel (shared KV block per group)
         o = flash_attention(
             q, k, v, config=c.tile, causal=True, interpret=interpret
         )

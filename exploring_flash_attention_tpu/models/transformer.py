@@ -152,12 +152,8 @@ def _attn_block(
     else:
         positions = None
 
-    # GQA: repeat KV heads to match Q heads for the kernel (shapes are
-    # local — under tp both head counts are already divided by tp)
-    rep = q.shape[1] // k.shape[1]
-    if rep > 1:
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+    # GQA: the kernels share the KV head across each q-head group natively
+    # (BlockSpec bh // group) — no repeated KV is materialized
 
     o = flash_attention(
         q, k, v, config=c.tile, causal=True, interpret=interpret,

@@ -550,11 +550,23 @@ def flash_attention_bwd(
 
     ``static_positions``: compile-time (q_pos0, kv_pos0) — lets the fused
     kernel prune causal work at trace time.  Mutually exclusive with the
-    traced ``positions``."""
+    traced ``positions``.
+
+    GQA: ``k``/``v`` may carry fewer heads than ``q``; the kernels read
+    the shared KV block per group (BlockSpec ``bh // group``) and emit
+    per-q-head dK/dV partials in f32, which are summed over the group
+    before returning ``[B, H_kv, L_kv, d]`` grads."""
     if positions is not None and static_positions is not None:
         raise ValueError("pass positions OR static_positions, not both")
     b, h, lq, d = q.shape
+    h_kv = k.shape[1]
     lkv = k.shape[2]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not divisible by kv heads {h_kv}")
+    kv_group = h // h_kv
+    # per-q-head dk/dv partials are summed over the group — keep them f32
+    # so the reduction doesn't round twice
+    dkv_dtype = k.dtype if kv_group == 1 else jnp.float32
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_q = min(config.block_q, max(lq, 8))
@@ -576,9 +588,17 @@ def flash_attention_bwd(
     offs = jnp.stack([q_pos0, kv_pos0]).reshape(1, 2)
 
     qf = q.reshape(n_bh, lq, d)
-    kf = k.reshape(n_bh, lkv, d)
-    vf = v.reshape(n_bh, lkv, d)
+    kf = k.reshape(b * h_kv, lkv, d)
+    vf = v.reshape(b * h_kv, lkv, d)
     dof = do.reshape(n_bh, lq, d).astype(q.dtype)
+
+    def fold_kv_grads(dk, dv):
+        # per-q-head partials [n_bh, lkv, d] -> grouped sum [B, H_kv, ...]
+        dk = dk.reshape(b, h_kv, kv_group, lkv, d)
+        dv = dv.reshape(b, h_kv, kv_group, lkv, d)
+        if kv_group > 1:
+            return dk.sum(axis=2).astype(k.dtype), dv.sum(axis=2).astype(v.dtype)
+        return dk[:, :, 0], dv[:, :, 0]
     lsef = _pad_stats(lse, n_bh, lq)
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
@@ -599,7 +619,7 @@ def flash_attention_bwd(
             q_strip=min(config.q_chunk or 512, lq),
             kv_strip=min(config.block_kv, lkv),
             seq_len_q=lq, seq_len_kv=lkv, causal=causal,
-            q_dtype=q.dtype, k_dtype=k.dtype, v_dtype=v.dtype,
+            q_dtype=q.dtype, k_dtype=dkv_dtype, v_dtype=dkv_dtype,
             static_positions=static_positions,
         )
         dq, dk, dv = pl.pallas_call(
@@ -607,8 +627,8 @@ def flash_attention_bwd(
             grid=(n_bh,),
             in_specs=[
                 pl.BlockSpec((1, lq, d), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, lkv, d), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh // kv_group, 0, 0)),
+                pl.BlockSpec((1, lkv, d), lambda bh: (bh // kv_group, 0, 0)),
                 pl.BlockSpec((1, lq, d), lambda bh: (bh, 0, 0)),
                 pl.BlockSpec((1, 8, lq), lambda bh: (bh, 0, 0)),
                 pl.BlockSpec((1, 8, lq), lambda bh: (bh, 0, 0)),
@@ -622,8 +642,8 @@ def flash_attention_bwd(
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_bh, lq, d), q.dtype),
-                jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
-                jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((lq, d), jnp.float32),
@@ -635,26 +655,25 @@ def flash_attention_bwd(
             ),
             interpret=interp,
         )(qf, kf, vf, dof, lsef, deltaf, offs)
-        return (
-            dq.reshape(b, h, lq, d),
-            dk.reshape(b, h, lkv, d),
-            dv.reshape(b, h, lkv, d),
-        )
+        dk, dv = fold_kv_grads(dk, dv)
+        return (dq.reshape(b, h, lq, d), dk, dv)
 
     # ---- one-pass fast path: whole sequences VMEM-resident ----
     if fits_onepass(lq, d) and fits_onepass(lkv, d):
         dkv_kernel = functools.partial(
             _dkv_onepass_kernel,
             scale=scale, q_strip=min(256, max(lq, 8)), block_kv=block_kv,
-            seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=k.dtype,
+            seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=dkv_dtype,
         )
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=(n_bh, n_kv),
             in_specs=[
                 pl.BlockSpec((1, lq, d), lambda bh, ki: (bh, 0, 0)),
-                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_kv, d),
+                             lambda bh, ki: (bh // kv_group, ki, 0)),
+                pl.BlockSpec((1, block_kv, d),
+                             lambda bh, ki: (bh // kv_group, ki, 0)),
                 pl.BlockSpec((1, lq, d), lambda bh, ki: (bh, 0, 0)),
                 pl.BlockSpec((1, 8, lq), lambda bh, ki: (bh, 0, 0)),
                 pl.BlockSpec((1, 8, lq), lambda bh, ki: (bh, 0, 0)),
@@ -666,8 +685,8 @@ def flash_attention_bwd(
                 pl.BlockSpec((1, block_kv, d), lambda bh, ki: (bh, ki, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
-                jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
+                jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_kv, d), jnp.float32),
@@ -689,8 +708,10 @@ def flash_attention_bwd(
             grid=(n_bh, n_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
-                pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, lkv, d),
+                             lambda bh, qi: (bh // kv_group, 0, 0)),
+                pl.BlockSpec((1, lkv, d),
+                             lambda bh, qi: (bh // kv_group, 0, 0)),
                 pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
                 pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
@@ -706,11 +727,8 @@ def flash_attention_bwd(
             ),
             interpret=interp,
         )(qf, kf, vf, dof, lsef, deltaf, offs)
-        return (
-            dq.reshape(b, h, lq, d),
-            dk.reshape(b, h, lkv, d),
-            dv.reshape(b, h, lkv, d),
-        )
+        dk, dv = fold_kv_grads(dk, dv)
+        return (dq.reshape(b, h, lq, d), dk, dv)
 
     stats_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh, i, j: (bh, 0, i))
     offs_spec = pl.BlockSpec(
@@ -739,7 +757,8 @@ def flash_attention_bwd(
         def dq_kv_index(bh, qi, ki):
             # last kv tile visible from q block qi
             kmax = (qi * block_q + block_q - 1 + sp_q0 - sp_kv0) // block_kv
-            return (bh, jnp.minimum(ki, jnp.clip(kmax, 0, n_kv - 1)), 0)
+            return (bh // kv_group,
+                    jnp.minimum(ki, jnp.clip(kmax, 0, n_kv - 1)), 0)
     else:
         def dkv_q_index(bh, ki, qi):
             return (bh, qi, 0)
@@ -748,21 +767,23 @@ def flash_attention_bwd(
             return (bh, 0, qi)
 
         def dq_kv_index(bh, qi, ki):
-            return (bh, ki, 0)
+            return (bh // kv_group, ki, 0)
 
     # ---- dK / dV ----
     dkv_kernel = functools.partial(
         _dkv_kernel,
         scale=scale, block_q=block_q, block_kv=block_kv,
-        seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=k.dtype,
+        seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=dkv_dtype,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(n_bh, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), dkv_q_index),
-            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda bh, ki, qi: (bh // kv_group, ki, 0)),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda bh, ki, qi: (bh // kv_group, ki, 0)),
             pl.BlockSpec((1, block_q, d), dkv_q_index),
             pl.BlockSpec((1, 8, block_q), dkv_stats_index),
             pl.BlockSpec((1, 8, block_q), dkv_stats_index),
@@ -774,8 +795,8 @@ def flash_attention_bwd(
             pl.BlockSpec((1, block_kv, d), lambda bh, ki, qi: (bh, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_bh, lkv, d), k.dtype),
-            jax.ShapeDtypeStruct((n_bh, lkv, d), v.dtype),
+            jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
+            jax.ShapeDtypeStruct((n_bh, lkv, d), dkv_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, d), jnp.float32),
@@ -814,8 +835,5 @@ def flash_attention_bwd(
         interpret=interp,
     )(qf, kf, vf, dof, lsef, deltaf, offs)
 
-    return (
-        dq.reshape(b, h, lq, d),
-        dk.reshape(b, h, lkv, d),
-        dv.reshape(b, h, lkv, d),
-    )
+    dk, dv = fold_kv_grads(dk, dv)
+    return (dq.reshape(b, h, lq, d), dk, dv)

@@ -302,11 +302,12 @@ def _v1_onepass_kernel(
 
 
 def _flash_attention_v1_onepass(
-    qf, kf, vf,                  # [n_bh, L, d]
+    qf, kf, vf,                  # [n_bh, L, d] / [n_bh_kv, L, d] x2
     scale: float,
     out_dtype,
     interpret: bool,
     q_chunk: Optional[int] = None,
+    kv_group: int = 1,
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
@@ -326,8 +327,10 @@ def _flash_attention_v1_onepass(
         grid=(n_bh, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+            # GQA: a q-head group's consecutive programs map to the same
+            # KV block, which Pallas fetches once and re-uses
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh // kv_group, 0, 0)),
+            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh // kv_group, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
@@ -364,11 +367,21 @@ def flash_attention_v1(
 
     ``window``: sliding-window (local) attention width — each query attends
     to its last ``window`` positions (inclusive); requires ``causal=True``.
-    Tiles entirely outside the band are skipped on both sides."""
+    Tiles entirely outside the band are skipped on both sides.
+
+    GQA: ``k``/``v`` may carry fewer heads than ``q`` (H % H_kv == 0); the
+    q-head group shares its KV head natively — the K/V BlockSpecs point
+    the group's programs at the same block (``bh // group``), so no
+    repeated KV is materialized in HBM (the ``jnp.repeat`` a caller would
+    otherwise need), and on the one-pass path consecutive programs of a
+    group re-use the fetched block outright."""
     b, h, lq, d = q.shape
+    h_kv = k.shape[1]
     lkv = k.shape[2]
-    if k.shape != (b, h, lkv, d) or v.shape != (b, h, lkv, d):
+    if (k.shape != (b, h_kv, lkv, d) or v.shape != (b, h_kv, lkv, d)
+            or h % h_kv != 0):
         raise ValueError(f"shape mismatch: q={q.shape} k={k.shape} v={v.shape}")
+    kv_group = h // h_kv
     if window is not None:
         if not causal:
             raise ValueError("window requires causal=True")
@@ -385,8 +398,8 @@ def flash_attention_v1(
     n_kv = cdiv(lkv, block_kv)
 
     qf = q.reshape(n_bh, lq, d)
-    kf = k.reshape(n_bh, lkv, d)
-    vf = v.reshape(n_bh, lkv, d)
+    kf = k.reshape(b * h_kv, lkv, d)
+    vf = v.reshape(b * h_kv, lkv, d)
 
     # Fast path: whole-KV-resident one-pass softmax (no online state, no
     # accumulator read-modify-write) whenever KV fits VMEM and the kernel
@@ -402,7 +415,7 @@ def flash_attention_v1(
     if eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
-            q_chunk=config.q_chunk,
+            q_chunk=config.q_chunk, kv_group=kv_group,
         )
         return out.reshape(b, h, lq, d)
 
@@ -434,10 +447,10 @@ def flash_attention_v1(
                     (qi * block_q + diag_off - window + 1) // block_kv, 0
                 )
                 ki_eff = jnp.maximum(ki_eff, vis_min)
-            return (bh, ki_eff, 0)
+            return (bh // kv_group, ki_eff, 0)
     else:
         def kv_block_index(bh, qi, ki):
-            return (bh, ki, 0)
+            return (bh // kv_group, ki, 0)
 
     flops = 4 * n_bh * lq * lkv * d
     out = pl.pallas_call(

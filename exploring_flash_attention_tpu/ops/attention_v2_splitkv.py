@@ -336,11 +336,20 @@ def flash_attention_splitkv_partial(
     of ring / sequence-parallel shards.  Default assumes q rows are the
     final Lq positions of the KV span (decode convention).
     ``static_positions``: same as ``positions`` but compile-time ints —
-    enables trace-time causal chunk skipping (real FLOP savings)."""
+    enables trace-time causal chunk skipping (real FLOP savings).
+
+    GQA: ``k``/``v`` may carry fewer heads than ``q`` (H % H_kv == 0) —
+    the group's programs share the KV block via the BlockSpec index map
+    (see flash_attention_v1)."""
     if positions is not None and static_positions is not None:
         raise ValueError("pass positions OR static_positions, not both")
     b, h, lq, d = q.shape
+    h_kv = k.shape[1]
     lkv = k.shape[2]
+    if (k.shape != (b, h_kv, lkv, d) or v.shape != (b, h_kv, lkv, d)
+            or h % h_kv != 0):
+        raise ValueError(f"shape mismatch: q={q.shape} k={k.shape} v={v.shape}")
+    kv_group = h // h_kv
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
@@ -354,8 +363,8 @@ def flash_attention_splitkv_partial(
     n_kb = cdiv(lkv, kv_span)
 
     qf = q.reshape(n_bh, lq, d)
-    kf = k.reshape(n_bh, lkv, d)
-    vf = v.reshape(n_bh, lkv, d)
+    kf = k.reshape(b * h_kv, lkv, d)
+    vf = v.reshape(b * h_kv, lkv, d)
 
     has_offsets = positions is not None
 
@@ -383,8 +392,10 @@ def flash_attention_splitkv_partial(
         )
         op_specs = [
             pl.BlockSpec((1, op_block_q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, lkv, d),
+                         lambda bh, qi: (bh // kv_group, 0, 0)),
+            pl.BlockSpec((1, lkv, d),
+                         lambda bh, qi: (bh // kv_group, 0, 0)),
         ]
         op_inputs = [qf, kf, vf]
         if has_offsets:
@@ -439,11 +450,11 @@ def flash_attention_splitkv_partial(
                 vis_max = (
                     qi * bq + bq - 1 + sp_q_pos0 - sp_kv_pos0
                 ) // kv_span
-                return (bh, jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)),
-                        0)
+                return (bh // kv_group,
+                        jnp.minimum(kb, jnp.clip(vis_max, 0, n_kb - 1)), 0)
         else:
             def span_index(bh, qi, kb):
-                return (bh, kb, 0)
+                return (bh // kv_group, kb, 0)
         return span_index
 
     # Multi-span one-pass path: the BlockSpec stages the full kv_span in

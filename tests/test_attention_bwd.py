@@ -149,3 +149,34 @@ def test_bwd_tiled_fallback(causal, monkeypatch):
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-2,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_gqa_matches_repeated_kv(causal):
+    # GQA grads: dq per head; dk/dv summed over each q-head group — must
+    # match autodiff through explicit KV repetition
+    q, _, _ = make_qkv(1, 4, 128, 32, dtype=np.float32, seed=20)
+    _, k, v = make_qkv(1, 2, 128, 32, dtype=np.float32, seed=21)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    g = jnp.asarray(
+        np.random.default_rng(22).standard_normal((1, 4, 128, 32)),
+        dtype=jnp.float32,
+    )
+    cfg = TileConfig(block_q=64, block_kv=64)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, config=cfg, causal=causal) * g)
+
+    def loss_rep(q, k, v):
+        kr = jnp.repeat(k, 2, axis=1)
+        vr = jnp.repeat(v, 2, axis=1)
+        return jnp.sum(
+            flash_attention(q, kr, vr, config=cfg, causal=causal) * g)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_rep, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in [(dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-4,
+            err_msg=name,
+        )

@@ -162,3 +162,29 @@ def test_v1_onepass_odd_block_long_kv():
     out = run_v1(q, k, v)
     ref = naive_attention(q, k, v)
     assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_v1_gqa_matches_repeated_kv(causal):
+    # GQA (2 q heads per kv head) must equal running the kernel on
+    # explicitly repeated KV
+    q, _, _ = make_qkv(2, 4, 256, 64, dtype=np.float32, seed=14)
+    _, k, v = make_qkv(2, 2, 256, 64, dtype=np.float32, seed=15)
+    qj, kj, vj = (jnp.asarray(x) for x in (q, k, v))
+    a = np.asarray(flash_attention_v1(qj, kj, vj, causal=causal))
+    b = np.asarray(flash_attention_v1(
+        qj, jnp.repeat(kj, 2, axis=1), jnp.repeat(vj, 2, axis=1),
+        causal=causal))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_v1_gqa_streaming():
+    q, _, _ = make_qkv(1, 4, 256, 64, dtype=np.float32, seed=16)
+    _, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=17)
+    qj, kj, vj = (jnp.asarray(x) for x in (q, k, v))
+    cfg = TileConfig(block_q=128, block_kv=64, one_pass=False)
+    a = np.asarray(flash_attention_v1(qj, kj, vj, config=cfg))
+    b = np.asarray(flash_attention_v1(
+        qj, jnp.repeat(kj, 2, axis=1), jnp.repeat(vj, 2, axis=1),
+        config=cfg))
+    np.testing.assert_allclose(a, b, atol=1e-6)
