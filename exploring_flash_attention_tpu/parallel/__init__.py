@@ -7,6 +7,7 @@ from exploring_flash_attention_tpu.parallel.ring import ring_attention
 from exploring_flash_attention_tpu.parallel.splitkv_xhost import (
     splitkv_attention_xhost,
 )
+from exploring_flash_attention_tpu.parallel.ulysses import ulysses_attention
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "merge_partials",
     "ring_attention",
     "splitkv_attention_xhost",
+    "ulysses_attention",
 ]

@@ -132,3 +132,57 @@ def test_partial_positions_equivalence():
     )
     np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(lse_a), np.asarray(lse_b), atol=1e-6)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention(sp, causal):
+    from exploring_flash_attention_tpu.parallel import ulysses_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=sp))
+    q, k, v = make_qkv(1, 4, 256, 64, dtype=np.float32, seed=7)
+    out = ulysses_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh,
+        config=CFG, causal=causal,
+    )
+    ref = naive_attention(q, k, v, causal=causal)
+    assert error_stats(np.asarray(out), ref)["max_abs"] < 1e-5
+
+
+def test_ulysses_gqa_and_grads():
+    from exploring_flash_attention_tpu.parallel import ulysses_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=2))
+    q, _, _ = make_qkv(1, 4, 128, 32, dtype=np.float32, seed=8)
+    _, k, v = make_qkv(1, 2, 128, 32, dtype=np.float32, seed=9)
+    qj, kj, vj = (jnp.asarray(x) for x in (q, k, v))
+
+    def loss(q, k, v):
+        return jnp.sum(
+            ulysses_attention(q, k, v, mesh, config=CFG, causal=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        from exploring_flash_attention_tpu.ops import flash_attention
+
+        kr = jnp.repeat(k, 2, axis=1)
+        vr = jnp.repeat(v, 2, axis=1)
+        return jnp.sum(
+            flash_attention(q, kr, vr, config=CFG, causal=True) ** 2
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qj, kj, vj)
+    for g, r, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from exploring_flash_attention_tpu.parallel import ulysses_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=4))
+    q, k, v = make_qkv(1, 2, 64, 32, dtype=np.float32, seed=10)
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh)
