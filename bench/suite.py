@@ -151,6 +151,42 @@ def bench_dtiled_d512():
          f"{sec*1e3:.3f} ms, gate {err:.1e}")
 
 
+def bench_dtiled_d512_fp8():
+    """d-tiled kernel at d=512 with FP8 weight-only (KV) quantization —
+    the BASELINE "d-tiled V1 ... with FP8 weight-only QKV" tier.  Dequant
+    is fused (K scale -> softmax constant, V scale -> probability tile);
+    KV HBM traffic halves vs bf16."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1_dtiled
+    from exploring_flash_attention_tpu.ops.quant import dequantize, quantize_fp8
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 4, 8, 1024, 512
+    cfg = TileConfig(block_q=1024, block_kv=512, d_tile_qk=256, d_tile_v=256)
+
+    qs, ks, vs = _qkv_bf16(1, 2, 512, d, seed=0)
+    kq, vq = quantize_fp8(ks, block=512), quantize_fp8(vs, block=512)
+    out = np.asarray(flash_attention_v1_dtiled(
+        qs, kq, vq, config=cfg, out_dtype=jnp.float32))
+    ref = naive_attention(
+        np.asarray(qs.astype(jnp.float32)),
+        np.asarray(dequantize(kq).astype(jnp.float32)),
+        np.asarray(dequantize(vq).astype(jnp.float32)))
+    err = gate(out, ref, 2e-3, "dtiled_d512_fp8")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    kq, vq = quantize_fp8(kb, block=512), quantize_fp8(vb, block=512)
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1_dtiled(x, kq, vq, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_dtiled_d512_fp8_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms, gate {err:.1e}")
+
+
 def bench_splitkv():
     """Split-KV V2 pair at the reference's V2 shape (d=128).  Reference
     best: ~39ms-equivalent (V2 WMMA ~135x over 7.1s CPU => ~53 ms)."""
@@ -286,7 +322,9 @@ def bench_decode_tokens():
         return paged_decode_attention(x, cache, slots)
 
     from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
-    sec = time_fn_chained(step, q0, n_long=32, n_short=8)
+    # decode steps are ~100-250us — long chains so the measurement dwarfs
+    # ms-scale tunnel noise (short chains measured anywhere in 117-250us)
+    sec = time_fn_chained(step, q0, n_long=128, n_short=16)
     emit("decode_tokens_per_sec", bsz / sec, "tokens/s", None,
          f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages")
 
@@ -443,6 +481,7 @@ ALL = {
     "fwd_d32": bench_fwd_d32,
     "fwd_streaming": bench_fwd_streaming,
     "dtiled_d512": bench_dtiled_d512,
+    "dtiled_d512_fp8": bench_dtiled_d512_fp8,
     "splitkv": bench_splitkv,
     "kvquant_int8": bench_kvquant_int8,
     "int8_qkv": bench_int8_qkv,

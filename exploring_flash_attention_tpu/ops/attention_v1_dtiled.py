@@ -73,22 +73,43 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
 
 
 def _dtiled_kernel(
-    q_ref, k_ref, v_ref,     # VMEM blocks: (1,BQ,d), (1,BK,DTQ), (1,BK,DTV)
-    o_ref,                   # VMEM block (1, BQ, d)
-    s_scratch,               # VMEM (BQ, BK) f32 — S accumulator
-    p_scratch,               # VMEM (BQ, BK) storage dtype — probabilities
-    o_acc, m_ref, l_ref,     # VMEM (BQ, d) f32, (BQ, 128) f32 x2
-    *,
+    *refs,
     scale: float,
     d_tile_qk: int,
     d_tile_v: int,
     n_cq: int,
     n_cv: int,
+    quantized: bool,
 ):
+    # refs layout:
+    #   q_ref, k_ref, v_ref     VMEM (1,BQ,d), (1,BK,DTQ), (1,BK,DTV)
+    #                           (k/v int8 or fp8 when quantized)
+    #   [ks_ref, vs_ref]        SMEM, full flat [n_bh * n_kv] f32 scales
+    #                           (unblocked — TPU SMEM blocks must keep
+    #                           native tiling, so index by program id)
+    #   o_ref                   VMEM (1, BQ, d)
+    #   s_scratch               VMEM (BQ, BK) f32 — S accumulator
+    #   p_scratch               VMEM (BQ, BK) compute dtype — probabilities
+    #   o_acc, m_ref, l_ref     VMEM (BQ, d) f32, (BQ, 128) f32 x2
+    if quantized:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+         s_scratch, p_scratch, o_acc, m_ref, l_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref,
+         s_scratch, p_scratch, o_acc, m_ref, l_ref) = refs
     kv = pl.program_id(2)
     c = pl.program_id(3)
     n_kv = pl.num_programs(2)
     c2 = scale * LOG2E
+    if quantized:
+        # K dequant rides the softmax-scale scalar (softmax args are
+        # s * ks * scale — fold once into the exp2-basis constant).
+        # program_id is hoisted: it cannot be read inside pl.when bodies
+        # under interpret mode.
+        scale_idx = pl.program_id(0) * n_kv + kv
+        c2 = c2 * ks_ref[scale_idx]
+    else:
+        scale_idx = None
 
     @pl.when(jnp.logical_and(kv == 0, c == 0))
     def _init():
@@ -103,8 +124,11 @@ def _dtiled_kernel(
         # reference re-loads Q chunks per KV tile because shared memory is
         # KBs, tiled_d flash_attention_v1.h:154-174); slice the owning chunk
         q_c = q_ref[0, :, pl.ds(c * d_tile_qk, d_tile_qk)]
+        k_c = k_ref[0]
+        if quantized:
+            k_c = k_c.astype(q_c.dtype)      # exact int8/fp8 -> bf16 cast
         partial = jax.lax.dot_general(
-            q_c, k_ref[0], (((1,), (1,)), ((), ())),
+            q_c, k_c, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=dot_precision(q_c),
         )
@@ -130,14 +154,21 @@ def _dtiled_kernel(
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         # alpha hoisted: one full-width rescale before the chunked P@V
         o_acc[...] = o_acc[...] * alpha[:, :1]
+        if quantized:
+            # V dequant rides the probability tile — the per-chunk P@V
+            # matmul only needs the exact int8/fp8 -> bf16 operand cast
+            p = p * vs_ref[scale_idx]
         p_scratch[...] = p.astype(p_scratch.dtype)
 
     # ---- phases [n_cq, n_cq+n_cv): O[:, cv] += P V_cv ----
     @pl.when(c >= n_cq)
     def _pv_chunk():
         cv = c - n_cq
+        v_c = v_ref[0]
+        if quantized:
+            v_c = v_c.astype(p_scratch.dtype)
         pv = jax.lax.dot_general(
-            p_scratch[...], v_ref[0], (((1,), (0,)), ((), ())),
+            p_scratch[...], v_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=dot_precision(p_scratch[...]),
         )
@@ -159,17 +190,32 @@ def _dtiled_kernel(
 )
 def flash_attention_v1_dtiled(
     q: jax.Array,             # [B, H, L, d]
-    k: jax.Array,
-    v: jax.Array,
+    k,                        # jax.Array or QuantizedTensor (int8/fp8 + scales)
+    v,
     config: TileConfig = TileConfig(block_q=256, block_kv=256,
                                     d_tile_qk=128, d_tile_v=128),
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     out_dtype=None,
 ) -> jax.Array:
-    """d-tiled fused attention forward for large head dims (d >= 128)."""
+    """d-tiled fused attention forward for large head dims (d >= 128).
+
+    ``k``/``v`` may be :class:`~.quant.QuantizedTensor` (INT8 or FP8
+    values + per-KV-tile f32 scales, quant block == ``block_kv``) — the
+    BASELINE "d-tiled V1 ... with FP8 weight-only QKV" tier.  Dequant is
+    fused into the existing multiplies: the K scale folds into the
+    exp2-basis softmax constant, the V scale rides the probability tile,
+    so the chunk matmuls keep low-precision operands and the kernel runs
+    the same number of passes as the bf16 version."""
+    from exploring_flash_attention_tpu.ops.quant import QuantizedTensor
+
+    quantized = isinstance(k, QuantizedTensor)
+    if quantized != isinstance(v, QuantizedTensor):
+        raise ValueError("quantize both k and v or neither")
+    k_arr = k.values if quantized else k
+    v_arr = v.values if quantized else v
     b, h, lq, d = q.shape
-    lkv = k.shape[2]
+    lkv = k_arr.shape[2]
     d_tile_qk = config.d_tile_qk or min(d, 128)
     d_tile_v = config.d_tile_v or min(d, 128)
     if d % d_tile_qk or d % d_tile_v:
@@ -192,8 +238,8 @@ def flash_attention_v1_dtiled(
     n_cq = d // d_tile_qk
     n_cv = d // d_tile_v
     qf = q.reshape(n_bh, lq, d)
-    kf = k.reshape(n_bh, lkv, d)
-    vf = v.reshape(n_bh, lkv, d)
+    kf = k_arr.reshape(n_bh, lkv, d)
+    vf = v_arr.reshape(n_bh, lkv, d)
 
     kernel = functools.partial(
         _dtiled_kernel,
@@ -202,32 +248,48 @@ def flash_attention_v1_dtiled(
         d_tile_v=d_tile_v,
         n_cq=n_cq,
         n_cv=n_cv,
+        quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d),
+                     lambda bh, qi, kv, c: (bh, qi, 0)),
+        # chunk index clamps during the foreign phase so the block is
+        # only re-fetched when it actually advances
+        pl.BlockSpec(
+            (1, block_kv, d_tile_qk),
+            lambda bh, qi, kv, c: (bh, kv, jnp.minimum(c, n_cq - 1)),
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d_tile_v),
+            lambda bh, qi, kv, c: (
+                bh, kv, jnp.clip(c - n_cq, 0, n_cv - 1)
+            ),
+        ),
+    ]
+    inputs = [qf, kf, vf]
+    if quantized:
+        if k.block != block_kv or v.block != block_kv:
+            raise ValueError(
+                f"quant block ({k.block}, {v.block}) must equal "
+                f"block_kv ({block_kv})"
+            )
+        scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [scale_spec, scale_spec]
+        inputs += [
+            k.scales.reshape(n_bh * n_kv),
+            v.scales.reshape(n_bh * n_kv),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n_bh, n_q, n_kv, n_cq + n_cv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d),
-                         lambda bh, qi, kv, c: (bh, qi, 0)),
-            # chunk index clamps during the foreign phase so the block is
-            # only re-fetched when it actually advances
-            pl.BlockSpec(
-                (1, block_kv, d_tile_qk),
-                lambda bh, qi, kv, c: (bh, kv, jnp.minimum(c, n_cq - 1)),
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d_tile_v),
-                lambda bh, qi, kv, c: (
-                    bh, kv, jnp.clip(c - n_cq, 0, n_cv - 1)
-                ),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bh, qi, kv, c: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, block_kv), jnp.float32),
-            pltpu.VMEM((block_q, block_kv), v.dtype),
+            pltpu.VMEM((block_q, block_kv),
+                       q.dtype if quantized else v_arr.dtype),
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
             pltpu.VMEM((block_q, STATS_LANES), jnp.float32),
@@ -238,11 +300,11 @@ def flash_attention_v1_dtiled(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * n_bh * lq * lkv * d,
-            bytes_accessed=(qf.size + n_q * (kf.size + vf.size))
-            * qf.dtype.itemsize
+            bytes_accessed=(qf.size * qf.dtype.itemsize
+                            + n_q * (kf.size + vf.size) * kf.dtype.itemsize)
             + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
             transcendentals=n_bh * lq * lkv,
         ),
         interpret=_resolve_interpret(interpret),
-    )(qf, kf, vf)
+    )(*inputs)
     return out.reshape(b, h, lq, d)

@@ -64,3 +64,38 @@ def test_dtiled_rejects_bad_shapes():
     q, k, v = make_qkv(1, 1, 256, 192, dtype=np.float32, seed=3)
     with pytest.raises(ValueError):
         run_dtiled(q, k, v, config=cfg)
+
+
+@pytest.mark.parametrize("quantizer", ["int8", "fp8"])
+def test_dtiled_quantized_kv(quantizer):
+    # BASELINE tier: d-tiled V1 with FP8/INT8 weight-only (KV) QKV —
+    # fused dequant must match attention over the dequantized tensors
+    from exploring_flash_attention_tpu.ops.quant import (
+        dequantize, quantize_fp8, quantize_int8,
+    )
+
+    quant = quantize_int8 if quantizer == "int8" else quantize_fp8
+    q, k, v = make_qkv(1, 2, 256, 256, dtype=np.float32, seed=4)
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    cfg = TileConfig(block_q=128, block_kv=128, d_tile_qk=128, d_tile_v=128)
+    kq = quant(jnp.asarray(k).astype(jnp.bfloat16), block=128)
+    vq = quant(jnp.asarray(v).astype(jnp.bfloat16), block=128)
+    out = np.asarray(flash_attention_v1_dtiled(
+        qb, kq, vq, config=cfg, out_dtype=jnp.float32))
+    ref = naive_attention(
+        np.asarray(qb.astype(jnp.float32)),
+        np.asarray(dequantize(kq).astype(jnp.float32)),
+        np.asarray(dequantize(vq).astype(jnp.float32)),
+    )
+    assert error_stats(out, ref)["max_abs"] < 2e-3
+
+
+def test_dtiled_quantized_rejects_mismatched_block():
+    from exploring_flash_attention_tpu.ops.quant import quantize_int8
+
+    q, k, v = make_qkv(1, 1, 256, 256, dtype=np.float32, seed=5)
+    cfg = TileConfig(block_q=128, block_kv=128, d_tile_qk=128, d_tile_v=128)
+    kq = quantize_int8(jnp.asarray(k), block=64)     # != block_kv
+    vq = quantize_int8(jnp.asarray(v), block=64)
+    with pytest.raises(ValueError, match="quant block"):
+        flash_attention_v1_dtiled(jnp.asarray(q), kq, vq, config=cfg)
