@@ -186,3 +186,20 @@ def test_ulysses_rejects_indivisible_heads():
     q, k, v = make_qkv(1, 2, 64, 32, dtype=np.float32, seed=10)
     with pytest.raises(ValueError, match="divisible"):
         ulysses_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh)
+
+
+def test_ring_128k_lowers():
+    # BASELINE tier 5: ring attention at L=128K over sharded KV.  Real
+    # execution needs a pod; lowering with abstract avals validates that
+    # the whole sharded program (8 x 16K shards, streaming span kernels)
+    # traces and lowers without materializing anything.
+    from exploring_flash_attention_tpu.parallel import ring_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=8))
+    shape = jax.ShapeDtypeStruct((1, 8, 131072, 128), jnp.bfloat16)
+    cfg = TileConfig(block_q=1024, block_kv=1024)
+    fn = jax.jit(
+        lambda q, k, v: ring_attention(q, k, v, mesh, config=cfg, causal=True)
+    )
+    lowered = fn.lower(shape, shape, shape)
+    assert lowered is not None
