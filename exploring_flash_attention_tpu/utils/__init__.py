@@ -1,4 +1,8 @@
-from exploring_flash_attention_tpu.utils.autotune import autotune_v1
+from exploring_flash_attention_tpu.utils.autotune import (
+    autotune_dtiled,
+    autotune_splitkv,
+    autotune_v1,
+)
 from exploring_flash_attention_tpu.utils.benchmark import (
     attention_flops,
     roofline_attention_tflops,
@@ -11,6 +15,8 @@ from exploring_flash_attention_tpu.utils.profiling import (
 )
 
 __all__ = [
+    "autotune_dtiled",
+    "autotune_splitkv",
     "autotune_v1",
     "time_fn_chained",
     "attention_flops",

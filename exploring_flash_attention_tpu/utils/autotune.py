@@ -150,3 +150,141 @@ def autotune_v1(
     if use_disk_cache:
         _save_disk(key, best)
     return best
+
+
+def default_candidates_dtiled(lq: int, lkv: int, d: int) -> List[TileConfig]:
+    """Candidate geometries for the d-tiled kernel (measured sweet spot on
+    v5e at d=512: large blocks + 256-wide d-chunks — the phase-grid's
+    per-program overhead amortizes; scripts/ab_splitkv_dtiled.py)."""
+    cands = []
+    for bq in (512, 1024):
+        for bk in (256, 512):
+            for dt in (128, 256):
+                if d % dt or bq > lq or bk > lkv:
+                    continue
+                cands.append(TileConfig(block_q=bq, block_kv=bk,
+                                        d_tile_qk=dt, d_tile_v=dt))
+    if not cands:
+        cands.append(TileConfig(block_q=min(256, max(lq, 8)),
+                                block_kv=min(256, max(lkv, 8)),
+                                d_tile_qk=min(d, 128),
+                                d_tile_v=min(d, 128)))
+    return cands
+
+
+def autotune_dtiled(
+    q: jax.Array,
+    k,
+    v,
+    candidates: Optional[Sequence[TileConfig]] = None,
+    iters: int = 8,
+    use_disk_cache: bool = True,
+) -> TileConfig:
+    """Fastest TileConfig for ``flash_attention_v1_dtiled`` (k/v may be
+    QuantizedTensor)."""
+    from exploring_flash_attention_tpu.ops import flash_attention_v1_dtiled
+
+    k_arr = getattr(k, "values", k)
+    key = _key("dtiled", q.shape, k_arr.shape[2], q.dtype)
+    if key in _CACHE:
+        return _CACHE[key]
+    if use_disk_cache:
+        disk = _load_disk().get(key)
+        if disk:
+            cfg = TileConfig(**disk)
+            _CACHE[key] = cfg
+            return cfg
+
+    cands = list(candidates or default_candidates_dtiled(
+        q.shape[2], k_arr.shape[2], q.shape[3]))
+    best, best_t = None, float("inf")
+    for cfg in cands:
+        try:
+            t = _time_once(
+                lambda cfg=cfg: flash_attention_v1_dtiled(
+                    q, k, v, config=cfg),
+                iters,
+            )
+        except Exception:  # noqa: BLE001 — infeasible geometry
+            continue
+        if t < best_t:
+            best, best_t = cfg, t
+    if best is None:
+        raise RuntimeError(f"autotune_dtiled: every candidate failed ({key})")
+    _CACHE[key] = best
+    if use_disk_cache:
+        _save_disk(key, best)
+    return best
+
+
+def autotune_splitkv(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    iters: int = 8,
+    causal: bool = False,
+    use_disk_cache: bool = True,
+) -> SplitKVConfig:
+    """Fastest SplitKVConfig for the ``flash_attention_v2`` pair.
+
+    Sweeps block_q x (span via kv_tiles_per_block); measured v5e optimum
+    at the canonical shape is bq=1024, one 512-wide tile per block."""
+    from exploring_flash_attention_tpu.ops import flash_attention_v2
+
+    key = _key("v2" + ("c" if causal else ""), q.shape, k.shape[2], q.dtype)
+    if key in _CACHE:
+        return _CACHE[key]
+    if use_disk_cache:
+        disk = _load_disk().get(key)
+        if disk:
+            cfg = SplitKVConfig(
+                block_q=disk["block_q"], block_kv=disk["block_kv"],
+                kv_tiles_per_block=disk.get("kv_tiles_per_block", 1),
+            )
+            _CACHE[key] = cfg
+            return cfg
+
+    lq, lkv = q.shape[2], k.shape[2]
+    cands = []
+    for bq in (512, 1024):
+        if bq > max(lq, 8) and bq != 512:
+            continue
+        for tiles, bk in ((1, 512), (2, 512), (1, 1024)):
+            if tiles * bk > lkv:
+                continue
+            cands.append(SplitKVConfig(block_q=min(bq, max(lq, 8)),
+                                       block_kv=bk,
+                                       kv_tiles_per_block=tiles))
+    if not cands:
+        cands.append(SplitKVConfig(block_q=min(512, max(lq, 8)),
+                                   block_kv=min(512, max(lkv, 8)),
+                                   kv_tiles_per_block=1))
+    best, best_t = None, float("inf")
+    for cfg in cands:
+        try:
+            t = _time_once(
+                lambda cfg=cfg: flash_attention_v2(
+                    q, k, v, config=cfg, causal=causal),
+                iters,
+            )
+        except Exception:  # noqa: BLE001
+            continue
+        if t < best_t:
+            best, best_t = cfg, t
+    if best is None:
+        raise RuntimeError(f"autotune_splitkv: every candidate failed ({key})")
+    _CACHE[key] = best
+    if use_disk_cache:
+        data = _load_disk()
+        data[key] = {
+            "block_q": best.block_q,
+            "block_kv": best.block_kv,
+            "kv_tiles_per_block": best.kv_tiles_per_block,
+        }
+        try:
+            os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+            with open(_CACHE_PATH, "w") as f:
+                json.dump(data, f, indent=1)
+        except OSError:
+            pass
+    return best

@@ -42,3 +42,35 @@ def test_roofline_model():
     assert roofline_tflops(10**15, 10**6) == 197.0
     # bandwidth-bound: intensity 1 flop/byte * 819 GB/s = 0.819 TFLOP/s
     assert abs(roofline_tflops(10**9, 10**9) - 0.819) < 1e-6
+
+
+def test_autotune_dtiled_and_splitkv(tmp_path, monkeypatch):
+    import exploring_flash_attention_tpu.utils.autotune as at
+    from exploring_flash_attention_tpu.configs import SplitKVConfig, TileConfig
+    from exploring_flash_attention_tpu.utils import (
+        autotune_dtiled, autotune_splitkv,
+    )
+
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "tune.json"))
+    at._CACHE.clear()
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 1, 256, 256)), jnp.float32)
+        for _ in range(3)
+    )
+    cands = [TileConfig(block_q=128, block_kv=128,
+                        d_tile_qk=128, d_tile_v=128)]
+    cfg = autotune_dtiled(q, k, v, candidates=cands, iters=1)
+    assert cfg in cands
+    # disk-cache round trip
+    at._CACHE.clear()
+    assert autotune_dtiled(q, k, v, candidates=[], iters=1) == cfg
+
+    q2, k2, v2 = (
+        jnp.asarray(rng.standard_normal((1, 1, 512, 128)), jnp.float32)
+        for _ in range(3)
+    )
+    scfg = autotune_splitkv(q2, k2, v2, iters=1)
+    assert isinstance(scfg, SplitKVConfig)
+    at._CACHE.clear()
+    assert autotune_splitkv(q2, k2, v2, iters=1) == scfg
