@@ -45,20 +45,40 @@ def _load_disk() -> Dict[str, dict]:
         return {}
 
 
-def _save_disk(key: str, cfg: TileConfig) -> None:
-    data = _load_disk()
-    data[key] = {
+def _cfg_fields(cfg: TileConfig) -> dict:
+    fields = {
         "block_q": cfg.block_q,
         "block_kv": cfg.block_kv,
         "d_tile_qk": cfg.d_tile_qk,
         "d_tile_v": cfg.d_tile_v,
     }
+    if isinstance(cfg, SplitKVConfig):
+        fields["kv_tiles_per_block"] = cfg.kv_tiles_per_block
+    return fields
+
+
+def _save_disk(key: str, cfg: TileConfig) -> None:
+    data = _load_disk()
+    data[key] = _cfg_fields(cfg)
     try:
         os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
         with open(_CACHE_PATH, "w") as f:
             json.dump(data, f, indent=1)
     except OSError:
         pass  # read-only FS: in-process cache still applies
+
+
+def _sweep_best(cands, run_cfg, iters: int, key: str):
+    """Time every candidate, return the fastest (None if all fail)."""
+    best, best_t = None, float("inf")
+    for cfg in cands:
+        try:
+            t = _time_once(lambda cfg=cfg: run_cfg(cfg), iters)
+        except Exception:  # noqa: BLE001 — infeasible geometry (VMEM, ...)
+            continue
+        if t < best_t:
+            best, best_t = cfg, t
+    return best
 
 
 def _time_once(fn: Callable[[], jax.Array], iters: int) -> float:
@@ -129,19 +149,12 @@ def autotune_v1(
 
     cands = list(candidates or default_candidates_v1(
         q.shape[2], k.shape[2], q.shape[3]))
-    best, best_t = cands[0], float("inf")
-    for cfg in cands:
-        try:
-            t = _time_once(
-                lambda cfg=cfg: flash_attention_v1(
-                    q, k, v, config=cfg, causal=causal),
-                iters,
-            )
-        except Exception:  # noqa: BLE001 — infeasible geometry (VMEM, ...)
-            continue
-        if t < best_t:
-            best, best_t = cfg, t
-    if best_t == float("inf"):
+    best = _sweep_best(
+        cands,
+        lambda cfg: flash_attention_v1(q, k, v, config=cfg, causal=causal),
+        iters, key,
+    )
+    if best is None:
         raise RuntimeError(
             f"autotune_v1: every candidate config failed for {key}; "
             "not caching an unvalidated config"
@@ -152,23 +165,31 @@ def autotune_v1(
     return best
 
 
-def default_candidates_dtiled(lq: int, lkv: int, d: int) -> List[TileConfig]:
+def default_candidates_dtiled(
+    lq: int, lkv: int, d: int, quant_block: Optional[int] = None,
+) -> List[TileConfig]:
     """Candidate geometries for the d-tiled kernel (measured sweet spot on
     v5e at d=512: large blocks + 256-wide d-chunks — the phase-grid's
-    per-program overhead amortizes; scripts/ab_splitkv_dtiled.py)."""
+    per-program overhead amortizes; scripts/ab_splitkv_dtiled.py).
+
+    ``quant_block``: quantized K/V pin block_kv to their quant block (the
+    kernel rejects any other geometry)."""
+    bk_opts = (quant_block,) if quant_block is not None else (256, 512)
     cands = []
     for bq in (512, 1024):
-        for bk in (256, 512):
+        for bk in bk_opts:
             for dt in (128, 256):
                 if d % dt or bq > lq or bk > lkv:
                     continue
                 cands.append(TileConfig(block_q=bq, block_kv=bk,
                                         d_tile_qk=dt, d_tile_v=dt))
     if not cands:
-        cands.append(TileConfig(block_q=min(256, max(lq, 8)),
-                                block_kv=min(256, max(lkv, 8)),
-                                d_tile_qk=min(d, 128),
-                                d_tile_v=min(d, 128)))
+        cands.append(TileConfig(
+            block_q=min(256, max(lq, 8)),
+            block_kv=(quant_block if quant_block is not None
+                      else min(256, max(lkv, 8))),
+            d_tile_qk=min(d, 128),
+            d_tile_v=min(d, 128)))
     return cands
 
 
@@ -185,7 +206,11 @@ def autotune_dtiled(
     from exploring_flash_attention_tpu.ops import flash_attention_v1_dtiled
 
     k_arr = getattr(k, "values", k)
-    key = _key("dtiled", q.shape, k_arr.shape[2], q.dtype)
+    quant_block = getattr(k, "block", None)
+    # the key must separate quantized calls: same shapes/q.dtype but a
+    # different kernel path (and a hard block_kv == quant_block constraint)
+    kv_tag = f"{jnp.dtype(k_arr.dtype).name}:{quant_block}"
+    key = _key(f"dtiled[{kv_tag}]", q.shape, k_arr.shape[2], q.dtype)
     if key in _CACHE:
         return _CACHE[key]
     if use_disk_cache:
@@ -196,19 +221,12 @@ def autotune_dtiled(
             return cfg
 
     cands = list(candidates or default_candidates_dtiled(
-        q.shape[2], k_arr.shape[2], q.shape[3]))
-    best, best_t = None, float("inf")
-    for cfg in cands:
-        try:
-            t = _time_once(
-                lambda cfg=cfg: flash_attention_v1_dtiled(
-                    q, k, v, config=cfg),
-                iters,
-            )
-        except Exception:  # noqa: BLE001 — infeasible geometry
-            continue
-        if t < best_t:
-            best, best_t = cfg, t
+        q.shape[2], k_arr.shape[2], q.shape[3], quant_block=quant_block))
+    best = _sweep_best(
+        cands,
+        lambda cfg: flash_attention_v1_dtiled(q, k, v, config=cfg),
+        iters, key,
+    )
     if best is None:
         raise RuntimeError(f"autotune_dtiled: every candidate failed ({key})")
     _CACHE[key] = best
@@ -259,32 +277,14 @@ def autotune_splitkv(
         cands.append(SplitKVConfig(block_q=min(512, max(lq, 8)),
                                    block_kv=min(512, max(lkv, 8)),
                                    kv_tiles_per_block=1))
-    best, best_t = None, float("inf")
-    for cfg in cands:
-        try:
-            t = _time_once(
-                lambda cfg=cfg: flash_attention_v2(
-                    q, k, v, config=cfg, causal=causal),
-                iters,
-            )
-        except Exception:  # noqa: BLE001
-            continue
-        if t < best_t:
-            best, best_t = cfg, t
+    best = _sweep_best(
+        cands,
+        lambda cfg: flash_attention_v2(q, k, v, config=cfg, causal=causal),
+        iters, key,
+    )
     if best is None:
         raise RuntimeError(f"autotune_splitkv: every candidate failed ({key})")
     _CACHE[key] = best
     if use_disk_cache:
-        data = _load_disk()
-        data[key] = {
-            "block_q": best.block_q,
-            "block_kv": best.block_kv,
-            "kv_tiles_per_block": best.kv_tiles_per_block,
-        }
-        try:
-            os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
-            with open(_CACHE_PATH, "w") as f:
-                json.dump(data, f, indent=1)
-        except OSError:
-            pass
+        _save_disk(key, best)
     return best

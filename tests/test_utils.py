@@ -74,3 +74,33 @@ def test_autotune_dtiled_and_splitkv(tmp_path, monkeypatch):
     assert isinstance(scfg, SplitKVConfig)
     at._CACHE.clear()
     assert autotune_splitkv(q2, k2, v2, iters=1) == scfg
+
+
+def test_autotune_dtiled_quantized_kv(tmp_path, monkeypatch):
+    # quantized KV: candidates must pin block_kv to the quant block, and
+    # the cache key must not collide with the bf16 entry for same shapes
+    import exploring_flash_attention_tpu.utils.autotune as at
+    from exploring_flash_attention_tpu.ops.quant import quantize_int8
+    from exploring_flash_attention_tpu.utils import autotune_dtiled
+
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "tune.json"))
+    at._CACHE.clear()
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 1, 256, 256)), jnp.float32)
+        for _ in range(3)
+    )
+    bf16_cfg = autotune_dtiled(
+        q, k, v,
+        candidates=[at.TileConfig(block_q=128, block_kv=128,
+                                  d_tile_qk=128, d_tile_v=128)],
+        iters=1,
+    )
+    kq, vq = quantize_int8(k, block=256), quantize_int8(v, block=256)
+    qcfg = autotune_dtiled(q, kq, vq, iters=1)
+    assert qcfg.block_kv == 256            # pinned to the quant block
+    assert qcfg != bf16_cfg or qcfg.block_kv == 256
+    # separate cache entries survived
+    at._CACHE.clear()
+    assert autotune_dtiled(q, kq, vq, iters=1) == qcfg
+    assert autotune_dtiled(q, k, v, candidates=[], iters=1) == bf16_cfg
