@@ -393,6 +393,47 @@ def bench_train_fwd_bwd():
          f"{sec*1e3:.3f} ms causal fwd+bwd")
 
 
+def bench_train_model_tokens():
+    """Whole-model training throughput on one chip: the 65M-param
+    flagship (4 layers, GQA 8/4, d_model 1024), B=8 x L=1024 causal LM
+    step (fwd + bwd + adamw), reported as tokens/s/chip."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        ModelConfig, init_params, make_train_step,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16,
+        tile=TileConfig(block_q=512, block_kv=512),
+    )
+    params = init_params(cfg, seed=0)
+    train_step, opt = make_train_step(cfg)
+    opt_state = opt.init(params)
+    bsz, seq = 8, 1024
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (bsz, seq + 1)),
+        jnp.int32,
+    )
+    # warm/compile, then time a chained run: the carry dependency is the
+    # params pytree itself
+    params, opt_state, _ = train_step(params, opt_state, tokens)
+
+    import time as _time
+    n = 12
+    params, opt_state, loss = train_step(params, opt_state, tokens)
+    float(loss)
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = train_step(params, opt_state, tokens)
+    float(loss)
+    dt = (_time.perf_counter() - t0) / n
+    emit("train_model_tokens_per_sec", bsz * seq / dt, "tokens/s", None,
+         f"{dt*1e3:.1f} ms/step, 65M params, B={bsz} L={seq}, loss {float(loss):.3f}")
+
+
 def bench_long_context():
     """Streaming kernel at L=32768 on one chip (long-context single-chip
     tier; the multi-chip ring extends this to 128K+ per BASELINE)."""
@@ -488,6 +529,7 @@ ALL = {
     "decode_tokens": bench_decode_tokens,
     "generate_e2e": bench_generate_e2e,
     "train_fwd_bwd": bench_train_fwd_bwd,
+    "train_model_tokens": bench_train_model_tokens,
     "long_context": bench_long_context,
     "sliding_window_32k": bench_sliding_window_32k,
     "int8_prefill_4k": bench_int8_prefill_4k,
