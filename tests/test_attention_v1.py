@@ -188,3 +188,15 @@ def test_v1_gqa_streaming():
         qj, jnp.repeat(kj, 2, axis=1), jnp.repeat(vj, 2, axis=1),
         config=cfg))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_v1_gqa_sliding_window():
+    # GQA x sliding-window: the banded causal mask with shared KV heads
+    q, _, _ = make_qkv(1, 4, 256, 64, dtype=np.float32, seed=18)
+    _, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=19)
+    qj, kj, vj = (jnp.asarray(x) for x in (q, k, v))
+    a = np.asarray(flash_attention_v1(qj, kj, vj, causal=True, window=48))
+    b = np.asarray(flash_attention_v1(
+        qj, jnp.repeat(kj, 2, axis=1), jnp.repeat(vj, 2, axis=1),
+        causal=True, window=48))
+    np.testing.assert_allclose(a, b, atol=1e-6)
