@@ -200,3 +200,35 @@ def test_v1_gqa_sliding_window():
         qj, jnp.repeat(kj, 2, axis=1), jnp.repeat(vj, 2, axis=1),
         causal=True, window=48))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_v1_randomized_shapes():
+    # fuzz the dispatcher across ragged/cross-length/GQA shape combos —
+    # every sample validates against the oracle (seeded, deterministic)
+    rng = np.random.default_rng(123)
+    for _ in range(8):
+        b = int(rng.integers(1, 3))
+        h_kv = int(rng.integers(1, 3))
+        group = int(rng.choice([1, 2]))
+        h = h_kv * group
+        lq = int(rng.integers(1, 40)) * 8
+        lkv = int(rng.integers(1, 40)) * 8
+        d = int(rng.choice([32, 64, 128]))
+        causal = bool(rng.choice([True, False])) and lkv >= lq
+        bq = int(rng.choice([64, 128, 256]))
+        bk = int(rng.choice([64, 128, 256]))
+        one_pass = rng.choice([None, False])
+        q = rng.standard_normal((b, h, lq, d)).astype(np.float32)
+        k = rng.standard_normal((b, h_kv, lkv, d)).astype(np.float32)
+        v = rng.standard_normal((b, h_kv, lkv, d)).astype(np.float32)
+        cfg = TileConfig(block_q=bq, block_kv=bk, one_pass=one_pass)
+        out = np.asarray(flash_attention_v1(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            config=cfg, causal=causal,
+        ))
+        kr = np.repeat(k, group, axis=1)
+        vr = np.repeat(v, group, axis=1)
+        ref = naive_attention(q, kr, vr, causal=causal)
+        stats = error_stats(out, ref)
+        assert stats["max_abs"] < 2e-5, (
+            b, h, h_kv, lq, lkv, d, causal, bq, bk, one_pass, stats)
