@@ -9,10 +9,11 @@ training step shards over a (dp, tp, sp) mesh inside one ``shard_map``:
 - dp: batch sharding, gradient all-mean over dp (+ sp);
 - tp: heads (attention) and FFN columns Megatron-sharded, with the f/g
   conjugate all-reduce operators (models/parallel_layers.py);
-- sp: sequence sharding of activations; attention gathers K/V over sp
-  (all-gather fwd / reduce-scatter bwd) and masks causally at each shard's
-  traced global offset — the differentiable flavor of the engine's
-  split-KV-across-chips design (parallel/).
+- sp: sequence sharding of activations; attention runs the differentiable
+  ring (parallel/ring.py:ring_flash_attention — K/V shards rotate over ICI,
+  O(L_local) memory both passes, the scalable default) or, optionally, the
+  all-gather path (K/V gathered over sp, O(L_global) memory — only viable
+  at short L; ``ModelConfig.sp_attn``).
 
 Architecture: pre-RMSNorm, GQA-capable attention, SwiGLU FFN, tied
 embeddings.  Pure-functional params pytree + optax optimizer.
@@ -37,6 +38,7 @@ from exploring_flash_attention_tpu.models.parallel_layers import (
     gather_seq,
 )
 from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
+from exploring_flash_attention_tpu.parallel.ring import ring_flash_attention
 
 Params = Dict[str, Any]
 
@@ -55,12 +57,18 @@ class ModelConfig:
     norm_eps: float = 1e-5
     use_rope: bool = True
     rope_theta: float = 10000.0
+    # sequence-parallel attention strategy: "ring" rotates K/V shards over
+    # ICI (O(L_local) memory, scales to the 128K tier); "allgather" gathers
+    # the full K/V per layer (O(L_global) — short sequences only)
+    sp_attn: str = "ring"
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
             raise ValueError("n_heads must be divisible by n_kv_heads")
         if self.use_rope and self.d_head % 2:
             raise ValueError("RoPE needs an even d_head")
+        if self.sp_attn not in ("ring", "allgather"):
+            raise ValueError(f"unknown sp_attn {self.sp_attn!r}")
 
 
 def init_params(config: ModelConfig, seed: int = 0) -> Params:
@@ -142,23 +150,31 @@ def _attn_block(
         q = rope(q, pos, c.rope_theta)
         k = rope(k, pos, c.rope_theta)
 
-    if sp_axis is not None:
-        # sequence parallel: keep Q local, gather K/V (fwd all-gather,
-        # bwd reduce-scatter), causal-mask at this shard's global offset
-        k = gather_seq(k, sp_axis, 2)
-        v = gather_seq(v, sp_axis, 2)
-        q_pos0 = jax.lax.axis_index(sp_axis) * l_local
-        positions = (q_pos0, jnp.int32(0))
-    else:
-        positions = None
-
     # GQA: the kernels share the KV head across each q-head group natively
     # (BlockSpec bh // group) — no repeated KV is materialized
 
-    o = flash_attention(
-        q, k, v, config=c.tile, causal=True, interpret=interpret,
-        positions=positions,
-    )                                                   # [B, H, Ll, dh]
+    if sp_axis is not None and c.sp_attn == "ring":
+        # differentiable ring: K/V shards rotate over ICI, every chip keeps
+        # O(L_local) memory in forward AND backward — the sp strategy that
+        # survives the L=128K tier
+        o = ring_flash_attention(
+            q, k, v, sp_axis, c.tile, None, True, interpret
+        )                                               # [B, H, Ll, dh]
+    else:
+        if sp_axis is not None:
+            # all-gather fallback: keep Q local, gather K/V (fwd
+            # all-gather, bwd reduce-scatter), causal-mask at this shard's
+            # global offset.  O(L_global) KV per chip.
+            k = gather_seq(k, sp_axis, 2)
+            v = gather_seq(v, sp_axis, 2)
+            q_pos0 = jax.lax.axis_index(sp_axis) * l_local
+            positions = (q_pos0, jnp.int32(0))
+        else:
+            positions = None
+        o = flash_attention(
+            q, k, v, config=c.tile, causal=True, interpret=interpret,
+            positions=positions,
+        )                                               # [B, H, Ll, dh]
     out = jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
     if tp_axis is not None:
         out = g_tp(out, tp_axis)                        # row-parallel reduce

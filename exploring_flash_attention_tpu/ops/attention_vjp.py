@@ -1,10 +1,11 @@
-"""Differentiable flash attention: custom VJP around the Pallas forward.
+"""Differentiable flash attention: custom VJP around the Pallas kernels.
 
 The reference has no backward pass (SURVEY: "no training loop ... no
 backward pass"), so this is a framework extension: the forward is the
 split-KV partial kernel (which already returns the LSE residual the
-backward needs), and the backward recomputes attention probabilities from
-(q, k, v, lse) in jnp — the standard flash-attention gradient
+backward needs), and the backward is the tiled Pallas kernel pair in
+ops/attention_bwd.py (fused one-pass when everything fits VMEM, split
+dKV/dQ grids otherwise) implementing the standard flash-attention gradient
 
     P  = exp(q k^T * scale - lse)
     dV = P^T dO
@@ -12,10 +13,9 @@ backward needs), and the backward recomputes attention probabilities from
     dS = P * (dP - rowsum(dO * O)) * scale
     dQ = dS K ;  dK = dS^T Q
 
-computed block-free (XLA materializes the [Lq, Lkv] score block per head;
-a tiled Pallas backward kernel is a planned optimization, not a capability
-gap).  Supports causal masking at traced global positions — what
-sequence-parallel training shards need.
+with P recomputed tile-wise from (q, k, lse) — the [Lq, Lkv] score matrix
+never materializes in HBM.  Supports causal masking at traced global
+positions — what sequence-parallel training shards need.
 """
 
 from __future__ import annotations

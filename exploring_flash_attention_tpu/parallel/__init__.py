@@ -3,7 +3,10 @@ from exploring_flash_attention_tpu.parallel.partials import (
     attention_partial_local,
     merge_partials,
 )
-from exploring_flash_attention_tpu.parallel.ring import ring_attention
+from exploring_flash_attention_tpu.parallel.ring import (
+    ring_attention,
+    ring_flash_attention,
+)
 from exploring_flash_attention_tpu.parallel.splitkv_xhost import (
     splitkv_attention_xhost,
 )
@@ -14,6 +17,7 @@ __all__ = [
     "attention_partial_local",
     "merge_partials",
     "ring_attention",
+    "ring_flash_attention",
     "splitkv_attention_xhost",
     "ulysses_attention",
 ]

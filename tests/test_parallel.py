@@ -77,34 +77,90 @@ def test_ring_attention(sp):
     assert error_stats(np.asarray(out), naive_attention(q, k, v))["max_abs"] < 1e-5
 
 
-def test_ring_with_dp_tp_axes():
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_with_dp_tp_axes(causal):
     # full 3D mesh: dp shards batch, tp shards heads, sp rings the sequence
-    mesh = make_mesh(MeshConfig(dp=2, tp=2, sp=2))
-    q, k, v = make_qkv(2, 4, 128, 32, dtype=np.float32, seed=4)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    mesh = make_mesh(MeshConfig(dp=2, tp=2, sp=2))
+    q, k, v = make_qkv(2, 4, 128, 32, dtype=np.float32, seed=4)
     spec = P("dp", "tp", "sp", None)
     qs, ks, vs = (
         jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
         for x in (q, k, v)
     )
 
-    @jax.jit
-    @jax.shard_map(
-        mesh=mesh, in_specs=(P("dp", "tp", None, None),) * 3,
-        out_specs=P("dp", "tp", None, None), check_vma=False,
+    out = ring_attention(
+        qs, ks, vs, mesh, config=CFG, causal=causal,
+        batch_axis="dp", head_axis="tp",
     )
-    def outer(q_l, k_l, v_l):
-        # inside: dp/tp are local; call the ring over sp via nested shard_map
-        # is not allowed — instead run ring math manually per shard
-        return q_l
+    # the output must be genuinely partitioned over all three axes, not
+    # replicated: each device holds exactly 1/8 of the array
+    assert out.sharding.spec == spec
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(1, 2, 64, 32)}
+    # every input must have stayed partitioned too (no silent replication)
+    for x in (qs, ks, vs):
+        assert x.sharding.spec == spec
+    ref = naive_attention(q, k, v, causal=causal)
+    assert error_stats(np.asarray(out), ref)["max_abs"] < 1e-5
 
-    # simpler: ring_attention itself on the 3D mesh — dp/tp handled by
-    # sharding the non-sequence dims in its in_specs? ring_attention uses
-    # P(None, None, "sp", None), so dp/tp replicate. Just check it runs and
-    # matches the oracle.
-    out = ring_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh, config=CFG)
-    assert error_stats(np.asarray(out), naive_attention(q, k, v))["max_abs"] < 1e-5
+
+@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grads(sp, causal):
+    """Ring VJP vs the single-device kernel gradient (VERDICT item 2)."""
+    from exploring_flash_attention_tpu.ops import flash_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=sp))
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=11)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(q, k, v, mesh, config=CFG, causal=causal) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, config=CFG, causal=causal) ** 2
+        )
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(qj, kj, vj)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qj, kj, vj)
+    for g, r, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_ring_attention_gqa_grads():
+    """GQA ring: fewer KV heads than Q heads, gradients still match."""
+    from exploring_flash_attention_tpu.ops import flash_attention
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=1, sp=2))
+    q, _, _ = make_qkv(1, 4, 128, 32, dtype=np.float32, seed=12)
+    _, k, v = make_qkv(1, 2, 128, 32, dtype=np.float32, seed=13)
+    qj, kj, vj = (jnp.asarray(x) for x in (q, k, v))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(q, k, v, mesh, config=CFG, causal=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        kr = jnp.repeat(k, 2, axis=1)
+        vr = jnp.repeat(v, 2, axis=1)
+        return jnp.sum(
+            flash_attention(q, kr, vr, config=CFG, causal=True) ** 2
+        )
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(qj, kj, vj)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qj, kj, vj)
+    for g, r, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-5, rtol=1e-4, err_msg=name
+        )
 
 
 @pytest.mark.parametrize("sp", [2, 4])
