@@ -517,8 +517,35 @@ def bench_sliding_window_32k():
          None, f"{sec*1e3:.3f} ms causal L=32K w=4096")
 
 
+def bench_long_kv_8k():
+    """Non-causal L_kv=8192 through the flash_attention_v1 API: beyond the
+    one-pass VMEM budget the call must route through the span-local
+    one-pass split-KV pair (no API-dependent perf cliff vs
+    flash_attention_v2) — target >=100 TFLOP/s vs ~67 streaming."""
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, lq, lkv, d = 8, 8, 8192, 8192, 128
+    qb, kb, vb = _qkv_bf16(b, h, lq, d, seed=1, lkv=lkv)
+    cfg = TileConfig(block_q=512, block_kv=512)
+
+    # K/V ride as jit args (closed-over 128 MB constants overflow the
+    # remote-compile request)
+    def step(x, k, v):
+        return flash_attention_v1(x, k, v, config=cfg)
+
+    sec = time_fn_chained(step, qb, kb, vb, n_long=6, n_short=2)
+    tf = attention_flops(b, h, lq, lkv, d) / sec / 1e12
+    emit("fwd_v1_longkv_8k_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms non-causal L_kv=8192 via span route")
+
+
 ALL = {
     "fwd_d128": bench_fwd_d128,
+    "longkv_8k": bench_long_kv_8k,
     "fwd_d32": bench_fwd_d32,
     "fwd_streaming": bench_fwd_streaming,
     "dtiled_d512": bench_dtiled_d512,

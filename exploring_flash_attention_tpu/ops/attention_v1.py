@@ -48,7 +48,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from exploring_flash_attention_tpu.configs import TileConfig, cdiv
+from exploring_flash_attention_tpu.configs import (
+    SplitKVConfig,
+    TileConfig,
+    cdiv,
+)
 
 NEG_INF = float("-inf")
 # m/l statistics are stored broadcast across a full 128-lane vector so the
@@ -67,6 +71,17 @@ ONEPASS_MAX_KV_ELEMS = ONEPASS_MAX_KV * 128
 # scheduler can overlap one chunk's VPU softmax with the next chunk's MXU
 # matmul (measured optimum on v5e; see scripts/proto_onepass*.py sweeps).
 ONEPASS_Q_CHUNK = 256
+
+
+def onepass_span(lkv: int, d: int, block_kv: int) -> Optional[int]:
+    """Largest KV span within the one-pass VMEM budget that tiles ``lkv``
+    exactly (a multiple of ``block_kv``), or None — the span size the
+    multi-span one-pass split-KV path runs with."""
+    budget = min(ONEPASS_MAX_KV, ONEPASS_MAX_KV_ELEMS // max(d, 1))
+    for span in range(budget - budget % block_kv, 0, -block_kv):
+        if lkv % span == 0:
+            return span
+    return None
 
 
 def fits_onepass(lkv: int, d: int) -> bool:
@@ -418,6 +433,37 @@ def flash_attention_v1(
             q_chunk=config.q_chunk, kv_group=kv_group,
         )
         return out.reshape(b, h, lq, d)
+
+    # Long-KV unification: a non-causal KV beyond the one-pass VMEM budget
+    # is still fastest through the span-local one-pass split-KV pair
+    # (~104 vs ~67 TFLOP/s streaming at L_kv=8192/d=128) — the best kernel
+    # for a shape must not depend on which API the caller picked, so route
+    # it here instead of falling back to the streaming kernel.  Mirrors the
+    # reference's own V1-vs-V2 crossover guidance
+    # (/root/reference/flash_attention_v2/README.md: V1-vs-V2 table).
+    if (not causal and config.one_pass is not False
+            and not fits_onepass(lkv, d)):
+        span = onepass_span(lkv, d, block_kv)
+        if span is not None:
+            # local import: attention_v2_splitkv imports helpers from here
+            from exploring_flash_attention_tpu.ops.attention_v2_splitkv \
+                import flash_attention_splitkv_partial, splitkv_combine
+
+            span_cfg = SplitKVConfig(
+                block_q=config.block_q,
+                block_kv=block_kv,
+                one_pass=config.one_pass,
+                q_chunk=config.q_chunk,
+                kv_tiles_per_block=span // block_kv,
+            )
+            o_part, lse = flash_attention_splitkv_partial(
+                q, k, v, config=span_cfg, scale=scale,
+                interpret=interpret, workspace_dtype=q.dtype,
+            )
+            return splitkv_combine(
+                o_part, lse, block_q=config.block_q, out_dtype=out_dtype,
+                interpret=interpret,
+            )
 
     kernel = functools.partial(
         _v1_kernel,

@@ -20,17 +20,23 @@ import jax.numpy as jnp
 
 
 def time_fn_chained(
-    fn: Callable[[jax.Array], jax.Array],
+    fn: Callable[..., jax.Array],
     x0: jax.Array,
+    *extra: jax.Array,
     n_long: int = 24,
     n_short: int = 4,
     reps: int = 4,
 ) -> float:
-    """Per-iteration seconds of ``x -> fn(x)`` chained on-device.
+    """Per-iteration seconds of ``x -> fn(x, *extra)`` chained on-device.
 
     ``fn`` must map an array to an array of the same shape/dtype (attention
     with q := output does).  The scan carry creates the data dependency that
     prevents XLA from parallelizing or eliminating iterations.
+
+    Large operands (K/V at long context) must ride in ``extra``, not be
+    closed over: a closed-over jax array becomes an HLO *constant* embedded
+    in the compile request, which the remote-compile tunnel rejects past
+    ~100 MB (HTTP 413).  ``extra`` arrays are real jit arguments.
 
     Each chain length is timed ``reps`` times and the MINIMUM is used
     before differencing: tunnel pauses only ever inflate a measurement,
@@ -41,25 +47,25 @@ def time_fn_chained(
 
     def chain(n):
         @jax.jit
-        def run(x):
+        def run(x, *rest):
             def body(c, _):
-                return fn(c), ()
+                return fn(c, *rest), ()
             c, _ = jax.lax.scan(body, x, None, length=n)
             return jnp.sum(c.astype(jnp.float32))
         return run
 
     run_long, run_short = chain(n_long), chain(n_short)
     # compile + warm both
-    float(run_long(x0))
-    float(run_short(x0))
+    float(run_long(x0, *extra))
+    float(run_short(x0, *extra))
 
     shorts, longs = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run_short(x0))
+        float(run_short(x0, *extra))
         shorts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(run_long(x0))
+        float(run_long(x0, *extra))
         longs.append(time.perf_counter() - t0)
     return (min(longs) - min(shorts)) / (n_long - n_short)
 

@@ -164,6 +164,34 @@ def test_v1_onepass_odd_block_long_kv():
     assert error_stats(out, ref)["max_abs"] < 2e-5
 
 
+def test_v1_long_kv_routes_through_splitkv_spans():
+    # non-causal L_kv beyond the one-pass budget must route through the
+    # span-local one-pass split-KV pair (not the slower streaming kernel)
+    # and stay numerically identical to the oracle
+    from exploring_flash_attention_tpu.ops.attention_v1 import onepass_span
+
+    assert onepass_span(8192, 128, 512) == 4096
+    assert onepass_span(8192, 512, 512) == 1024
+    assert onepass_span(6144, 128, 512) == 3072
+    assert onepass_span(8192 + 512, 128, 512) == 512   # 512 * 17
+    assert onepass_span(8200, 128, 512) is None        # ragged: streams
+    q, k, v = make_qkv(1, 1, 256, 128, dtype=np.float32, seq_len_kv=8192,
+                       seed=15)
+    out = run_v1(q, k, v)
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+
+
+def test_v1_long_kv_gqa_routes():
+    # GQA through the long-KV span route
+    q, _, _ = make_qkv(1, 4, 128, 128, dtype=np.float32, seed=16)
+    _, k, v = make_qkv(1, 2, 128, 128, dtype=np.float32, seq_len_kv=8192,
+                       seed=17)
+    out = run_v1(q, k, v)
+    kr = np.repeat(k, 2, axis=1)
+    vr = np.repeat(v, 2, axis=1)
+    assert error_stats(out, naive_attention(q, kr, vr))["max_abs"] < 2e-5
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_v1_gqa_matches_repeated_kv(causal):
     # GQA (2 q heads per kv head) must equal running the kernel on
