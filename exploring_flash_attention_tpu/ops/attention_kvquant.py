@@ -181,6 +181,9 @@ def flash_attention_kvquant(
     out_dtype=None,
 ) -> jax.Array:
     """Fused attention over a quantized KV (the quantized KV-cache read path)."""
+    from exploring_flash_attention_tpu.ops.quant import warn_if_fp8_slow
+
+    warn_if_fp8_slow(k_q.values.dtype)
     b, h, lq, d = q.shape
     lkv = k_q.values.shape[2]
     if k_q.block != v_q.block:

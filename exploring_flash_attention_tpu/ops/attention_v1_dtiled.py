@@ -207,11 +207,15 @@ def flash_attention_v1_dtiled(
     exp2-basis softmax constant, the V scale rides the probability tile,
     so the chunk matmuls keep low-precision operands and the kernel runs
     the same number of passes as the bf16 version."""
-    from exploring_flash_attention_tpu.ops.quant import QuantizedTensor
+    from exploring_flash_attention_tpu.ops.quant import (
+        QuantizedTensor, warn_if_fp8_slow,
+    )
 
     quantized = isinstance(k, QuantizedTensor)
     if quantized != isinstance(v, QuantizedTensor):
         raise ValueError("quantize both k and v or neither")
+    if quantized:
+        warn_if_fp8_slow(k.values.dtype)
     k_arr = k.values if quantized else k
     v_arr = v.values if quantized else v
     b, h, lq, d = q.shape

@@ -17,6 +17,7 @@ exactly one scalar scale.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Tuple
 
 import jax
@@ -79,6 +80,49 @@ def quantize_fp8(x: jax.Array, block: int = 128) -> QuantizedTensor:
     scaled = x.astype(jnp.float32) * _expand(inv, x.shape, block)
     q = jnp.clip(scaled, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
     return QuantizedTensor(q, scales, block)
+
+
+class Fp8SlowPathWarning(UserWarning):
+    """FP8 KV on a TPU generation without native e4m3 MXU operands."""
+
+
+_fp8_warned = False
+
+
+def warn_if_fp8_slow(dtype, device_kind: str | None = None) -> None:
+    """Steer callers toward INT8 when handing FP8 KV to a chip whose MXU
+    has no native e4m3 operand path (v5e and earlier): the e4m3->bf16 cast
+    is software there, measured 67 vs 129 TFLOP/s against the int8 path at
+    the d-tiled d=512 tier (bench/results.json: fwd_dtiled_d512_fp8 vs
+    fwd_kvquant_int8).  Warns once per process; int8 is bit-exact over the
+    same per-block absmax scales, so there is no accuracy argument for fp8
+    on these chips (docs/dtiled.md)."""
+    global _fp8_warned
+    if _fp8_warned or dtype != FP8_DTYPE:
+        return
+    kind = device_kind
+    if kind is None:
+        try:
+            dev = jax.devices()[0]
+            if dev.platform != "tpu":
+                return  # CPU interpret-mode runs: nothing to steer
+            kind = dev.device_kind
+        except Exception:
+            return
+    kind = kind.lower()
+    # native fp8 matmul operands arrive with v6 (Trillium) class chips
+    if any(tag in kind for tag in ("v6", "trillium", "7x", "v7")):
+        return
+    _fp8_warned = True
+    warnings.warn(
+        f"FP8 (e4m3) KV on '{kind}': this chip has no native fp8 MXU "
+        "operand path, so the e4m3->bf16 cast runs in software (~2x slower "
+        "than int8: 67 vs 129 TFLOP/s measured at d=512). Use "
+        "quantize_int8 instead — same per-block scales, same fused-dequant "
+        "kernels, full MXU throughput.",
+        Fp8SlowPathWarning,
+        stacklevel=3,
+    )
 
 
 def _expand(scales: jax.Array, shape, block: int) -> jax.Array:

@@ -92,3 +92,27 @@ def test_kvquant_rejects_mismatched_blocks():
     vq = quantize_int8(jnp.asarray(v), block=64)
     with pytest.raises(ValueError):
         flash_attention_kvquant(jnp.asarray(q), kq, vq)
+
+
+def test_fp8_slow_path_warning_steering():
+    # VERDICT r1 item 10: fp8 KV on a chip without native e4m3 MXU operands
+    # must steer the caller toward int8 (once), and stay silent on chips
+    # with native fp8 matmuls or for int8 inputs.
+    import warnings
+
+    from exploring_flash_attention_tpu.ops import quant
+
+    quant._fp8_warned = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        quant.warn_if_fp8_slow(jnp.int8, device_kind="TPU v5 lite")
+        quant.warn_if_fp8_slow(quant.FP8_DTYPE, device_kind="TPU v6e")
+        assert not rec
+        quant.warn_if_fp8_slow(quant.FP8_DTYPE, device_kind="TPU v5 lite")
+        assert len(rec) == 1 and issubclass(
+            rec[0].category, quant.Fp8SlowPathWarning)
+        assert "quantize_int8" in str(rec[0].message)
+        # once per process only
+        quant.warn_if_fp8_slow(quant.FP8_DTYPE, device_kind="TPU v5 lite")
+        assert len(rec) == 1
+    quant._fp8_warned = False
