@@ -5,14 +5,31 @@ KV history.  This is the reference's split-KV V2 forward specialized to
 Lq=1 and lifted onto the paged cache: the KV "tiles" are pages found
 through the page table (scalar-prefetched so DMA addresses are known ahead
 of the loop — PrefetchScalarGridSpec, the pattern SURVEY §7 flags for
-paged gather), streamed HBM->VMEM with a 4-deep prefetch window, and
+paged gather), streamed HBM->VMEM with a deep prefetch window, and
 folded into the online-softmax state.
 
-Grid = one program per sequence: the page-major cache layout
-([n_pages, Hkv, ps, d], serving/kv_cache.py) makes one page index a single
-contiguous (Hkv, ps, d) DMA carrying every head — 8x fewer, 8x larger
-transfers than a head-major layout, which matters because decode is
-DMA-latency-bound (per-page compute is trivial).
+Flat decode: ONE program walks a flattened (sequence, page) work list for
+the whole batch, so the DMA prefetch window stays full ACROSS sequence
+boundaries.  A one-program-per-sequence grid refills the window from empty
+at every program start, exposing first-page HBM latency once per sequence
+(measured: ~55us of the 220us step at B=32/ctx=2048 — 25% over the
+cache-read floor); the flat work list exposes it exactly once per step.
+Per-sequence softmax state lives in the loop carry and is finalized into
+the output row whenever the work list crosses a sequence boundary.
+
+The work list itself is built by an in-kernel scalar prepass over the raw
+(page_table, seq_lens, seq_slots) scalar-prefetch arrays into SMEM scratch
+— building it with XLA ops in the wrapper measured ~28us/step of small
+gather/cumsum/scatter kernels, swamping the win at B=32; the scalar core
+does the same walk in ~1us while the vector core has nothing else to do.
+
+The packed page layout ([n_pages, 2, Hkv, ps, d], serving/kv_cache.py)
+makes one page index a single contiguous (2, Hkv, ps, d) DMA carrying
+every head's K AND V, plus one small DMA for both scale vectors — 2 DMAs
+per page where an unpacked (k, v, k_scales, v_scales) layout costs 4.
+This is the TPU analog of the reference's vectorized-width copy selection
+(flash_attention_v1/CUDA/load_shared_memory.h:37-51 picks the widest
+legal transfer — here the widest transfer is "the whole page, K and V").
 
 Fused INT8 dequant with per-token scales:
   - K: scores S = (q K_page^T) * softmax_scale, then S *= k_scale[col]
@@ -42,62 +59,79 @@ from exploring_flash_attention_tpu.ops.attention_v1 import (
 )
 from exploring_flash_attention_tpu.serving.kv_cache import PagedKVCache
 
-N_BUF = 4          # prefetch window depth (pages in flight per stream)
+N_BUF = 8          # prefetch window depth (pages in flight)
 
 
 def _decode_kernel(
     # scalar prefetch
-    pt_ref,                      # int32 [B * max_pages] flattened page table
-    sl_ref,                      # int32 [B] sequence lengths
+    pt_ref,                      # int32 [max_seqs * max_pages] page table
+    sl_ref,                      # int32 [max_seqs] sequence lengths
+    slots_ref,                   # int32 [B] cache slot per batch row
     # tensor inputs
-    q_ref,                       # VMEM (1, Hkv, G, d)
-    kp_ref, vp_ref,              # ANY [n_pages, Hkv, ps, d] int8
-    ks_ref, vs_ref,              # ANY [n_pages, Hkv, 1, ps] f32
+    q_ref,                       # VMEM (B, Hkv, G, d)
+    kvp_ref,                     # ANY [n_pages, 2, Hkv, ps, d] int8
+    kvs_ref,                     # ANY [n_pages, 2, Hkv, 1, ps] f32
     # output
-    o_ref,                       # VMEM (1, Hkv, G, d)
+    o_ref,                       # VMEM (B, Hkv, G, d)
     # scratch
-    k_buf, v_buf,                # VMEM (N_BUF, Hkv, ps, d) int8
-    ksb, vsb,                    # VMEM (N_BUF, Hkv, 1, ps) f32
-    sems,                        # DMA (4, N_BUF)
+    fpage,                       # SMEM (B * max_pages) work list: page id
+    fmeta,                       # SMEM (B * max_pages) seq | last | ntok
+    kv_buf,                      # VMEM (N_BUF, 2, Hkv, ps, d) int8
+    sc_buf,                      # VMEM (N_BUF, 2, Hkv, 1, ps) f32
+    sems,                        # DMA (2, N_BUF)
     *,
     scale: float,
     page_size: int,
     max_pages: int,
+    batch: int,
     num_kv_heads: int,
     group: int,
     head_dim: int,
     compute_dtype,
 ):
-    b = pl.program_id(0)
-    seq_len = sl_ref[b]
-    n_pages = jax.lax.div(seq_len + page_size - 1, page_size)
+    ps = page_size
+    # zero-length sequences produce no work-list entries; pre-zero the
+    # whole output so they emit zeros
+    o_ref[...] = jnp.zeros_like(o_ref)
+
+    # ---- scalar prepass: flatten (batch row, page) into the work list.
+    # fmeta packs (seq << 16) | (last << 15) | ntok  — ntok <= ps <= 16K.
+    def fill_seq(s, cnt):
+        slot = slots_ref[s]
+        sl = sl_ref[slot]
+        np_s = jax.lax.div(sl + ps - 1, ps)
+
+        def fill_page(j, cnt):
+            ntok = jnp.minimum(sl - j * ps, ps)
+            last = jnp.where(j == np_s - 1, 1, 0)
+            fpage[cnt] = pt_ref[slot * max_pages + j]
+            fmeta[cnt] = (s << 16) | (last << 15) | ntok
+            return cnt + 1
+
+        return jax.lax.fori_loop(0, np_s, fill_page, cnt)
+
+    n_total = jax.lax.fori_loop(0, batch, fill_seq, jnp.int32(0))
 
     def dma(slot, i):
-        page_id = pt_ref[b * max_pages + i]
+        page_id = fpage[i]
         return [
             pltpu.make_async_copy(
-                kp_ref.at[page_id], k_buf.at[slot], sems.at[0, slot]
+                kvp_ref.at[page_id], kv_buf.at[slot], sems.at[0, slot]
             ),
             pltpu.make_async_copy(
-                vp_ref.at[page_id], v_buf.at[slot], sems.at[1, slot]
-            ),
-            pltpu.make_async_copy(
-                ks_ref.at[page_id], ksb.at[slot], sems.at[2, slot]
-            ),
-            pltpu.make_async_copy(
-                vs_ref.at[page_id], vsb.at[slot], sems.at[3, slot]
+                kvs_ref.at[page_id], sc_buf.at[slot], sems.at[1, slot]
             ),
         ]
 
-    # fill the prefetch window (decode is DMA-latency-bound; keep N_BUF
-    # page transfers in flight — guide: "start all page DMAs concurrently")
+    # fill the prefetch window once for the WHOLE batch (decode is
+    # DMA-latency-bound; keep N_BUF page transfers in flight)
     for w in range(N_BUF):
-        @pl.when(w < n_pages)
+        @pl.when(w < n_total)
         def _start(w=w):
             for d_ in dma(w, w):
                 d_.start()
 
-    q = q_ref[0]                                       # (Hkv, G, d)
+    hg = num_kv_heads * group
 
     def page_step(i, carry):
         m, l, acc = carry                      # (Hkv*G, 1) x2, (Hkv*G, d)
@@ -106,23 +140,28 @@ def _decode_kernel(
         for d_ in dma(slot, i):
             d_.wait()
 
+        meta = fmeta[i]
+        seq = meta >> 16
+        n_tok = meta & 0x7FFF
+        q = q_ref[seq]                                 # (Hkv, G, d)
+
         # read everything out of the slot BEFORE re-targeting its DMA
-        k_scale = ksb[slot][:, 0, :]                   # (Hkv, ps)
-        v_scale = vsb[slot][:, 0, :]
+        k_scale = sc_buf[slot, 0][:, 0, :]             # (Hkv, ps)
+        v_scale = sc_buf[slot, 1][:, 0, :]
         # per-head scores assembled from per-head MXU dots
         s_heads = [
             jax.lax.dot_general(
-                q[kh], k_buf[slot, kh].astype(compute_dtype),
+                q[kh], kv_buf[slot, 0, kh].astype(compute_dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for kh in range(num_kv_heads)
         ]                                              # each (G, ps)
-        v_heads = [v_buf[slot, kh].astype(compute_dtype)
+        v_heads = [kv_buf[slot, 1, kh].astype(compute_dtype)
                    for kh in range(num_kv_heads)]
 
         # slot fully read — start its next transfer while we compute
-        @pl.when(i + N_BUF < n_pages)
+        @pl.when(i + N_BUF < n_total)
         def _prefetch():
             for d_ in dma(slot, i + N_BUF):
                 d_.start()
@@ -133,9 +172,8 @@ def _decode_kernel(
         vs_b = (jnp.repeat(v_scale, group, axis=0)
                 if group > 1 else v_scale)
         s = s * scale * ks_b
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (num_kv_heads * group, page_size), 1)
-        s = jnp.where(col + i * page_size < seq_len, s, NEG_INF)
+        col = jax.lax.broadcasted_iota(jnp.int32, (hg, page_size), 1)
+        s = jnp.where(col < n_tok, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(m - m_new))
@@ -153,17 +191,25 @@ def _decode_kernel(
             for kh in range(num_kv_heads)
         ], axis=0)                                     # (Hkv*G, d)
         acc = acc * alpha + pv
-        return m_new, l, acc
 
-    hg = num_kv_heads * group
+        # sequence boundary: finalize this row and reset the carry
+        is_last = (meta >> 15) & 1 == 1
+
+        @pl.when(is_last)
+        def _finalize():
+            denom = jnp.where(l == 0.0, 1.0, l)
+            o_ref[seq] = (acc / denom).reshape(
+                num_kv_heads, group, head_dim).astype(o_ref.dtype)
+
+        m = jnp.where(is_last, jnp.full_like(m_new, NEG_INF), m_new)
+        l = jnp.where(is_last, jnp.zeros_like(l), l)
+        acc = jnp.where(is_last, jnp.zeros_like(acc), acc)
+        return m, l, acc
+
     m0 = jnp.full((hg, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((hg, 1), jnp.float32)
     acc0 = jnp.zeros((hg, head_dim), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_pages, page_step, (m0, l0, acc0))
-
-    denom = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / denom).reshape(
-        num_kv_heads, group, head_dim).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, n_total, page_step, (m0, l0, acc0))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -184,11 +230,9 @@ def paged_decode_attention(
         scale = 1.0 / math.sqrt(d)
     ps = cache.page_size
     max_pages = cache.max_pages_per_seq
+    if ps > 0x7FFF:
+        raise ValueError("page_size must fit the 15-bit ntok meta field")
 
-    # gather this batch's page-table rows / lengths (scalar prefetch wants
-    # the batch-aligned view)
-    pt = cache.page_table[seq_slots].reshape(-1)       # [B * max_pages]
-    sl = cache.seq_lens[seq_slots]                     # [B]
     qg = q.reshape(b, hkv, group, d)
 
     kernel = functools.partial(
@@ -196,30 +240,29 @@ def paged_decode_attention(
         scale=scale,
         page_size=ps,
         max_pages=max_pages,
+        batch=b,
         num_kv_heads=hkv,
         group=group,
         head_dim=d,
         compute_dtype=q.dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
+        num_scalar_prefetch=3,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, hkv, group, d), lambda b_, *refs: (b_, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((b, hkv, group, d), lambda i, *refs: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, hkv, group, d), lambda b_, *refs: (b_, 0, 0, 0)
+            (b, hkv, group, d), lambda i, *refs: (0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, hkv, ps, d), cache.k_pages.dtype),
-            pltpu.VMEM((N_BUF, hkv, ps, d), cache.v_pages.dtype),
-            pltpu.VMEM((N_BUF, hkv, 1, ps), jnp.float32),
-            pltpu.VMEM((N_BUF, hkv, 1, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, N_BUF)),
+            pltpu.SMEM((b * max_pages,), jnp.int32),
+            pltpu.SMEM((b * max_pages,), jnp.int32),
+            pltpu.VMEM((N_BUF, 2, hkv, ps, d), cache.kv_pages.dtype),
+            pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, N_BUF)),
         ],
     )
     out = pl.pallas_call(
@@ -230,5 +273,6 @@ def paged_decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_resolve_interpret(interpret),
-    )(pt, sl, qg, cache.k_pages, cache.v_pages, cache.k_scales, cache.v_scales)
+    )(cache.page_table.reshape(-1), cache.seq_lens, seq_slots,
+      qg, cache.kv_pages, cache.kv_scales)
     return out.reshape(b, hq, d)

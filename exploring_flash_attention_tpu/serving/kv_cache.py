@@ -7,13 +7,14 @@ the d axis), so the decode kernel dequantizes on the fly by folding scales
 into score columns / probability columns (see ops/attention_kvquant.py for
 the folding math, serving/decode.py for the paged variant).
 
-Layout (page-major: ONE page index fetches every KV head's slice in a
-single contiguous DMA, so the decode kernel runs one program per sequence
-with 8x fewer, 8x larger transfers):
-    k_pages, v_pages : int8 [n_pages, H_kv, page_size, d]
-    k_scales, v_scales: f32 [n_pages, H_kv, 1, page_size]
-    page_table       : int32 [max_seqs, max_pages_per_seq]
-    seq_lens         : int32 [max_seqs]
+Layout (page-major, K/V packed: ONE page index fetches every KV head's K
+AND V slice in a single contiguous DMA, and both scale vectors in a second
+small one — 2 DMAs per page, where a k/v/k_scale/v_scale split layout costs
+4; decode is DMA-latency-bound so transfer count is the currency):
+    kv_pages  : int8 [n_pages, 2, H_kv, page_size, d]   (0 = K, 1 = V)
+    kv_scales : f32  [n_pages, 2, H_kv, 1, page_size]
+    page_table: int32 [max_seqs, max_pages_per_seq]
+    seq_lens  : int32 [max_seqs]
 
 Page management (allocator, free list) is host-side Python — the analog of
 the reference drivers' host orchestration; all token writes are functional
@@ -37,21 +38,19 @@ INT8_MAX = 127.0
 
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: jax.Array          # int8 [n_pages, Hkv, page_size, d]
-    v_pages: jax.Array
-    k_scales: jax.Array         # f32  [n_pages, Hkv, 1, page_size]
-    v_scales: jax.Array
+    kv_pages: jax.Array         # int8 [n_pages, 2, Hkv, page_size, d]
+    kv_scales: jax.Array        # f32  [n_pages, 2, Hkv, 1, page_size]
     page_table: jax.Array       # int32 [max_seqs, max_pages]
     seq_lens: jax.Array         # int32 [max_seqs]
     page_size: int
 
     @property
     def num_kv_heads(self) -> int:
-        return self.k_pages.shape[1]
+        return self.kv_pages.shape[2]
 
     @property
     def head_dim(self) -> int:
-        return self.k_pages.shape[3]
+        return self.kv_pages.shape[4]
 
     @property
     def max_pages_per_seq(self) -> int:
@@ -60,8 +59,7 @@ class PagedKVCache:
 
 jax.tree_util.register_dataclass(
     PagedKVCache,
-    data_fields=["k_pages", "v_pages", "k_scales", "v_scales",
-                 "page_table", "seq_lens"],
+    data_fields=["kv_pages", "kv_scales", "page_table", "seq_lens"],
     meta_fields=["page_size"],
 )
 
@@ -78,10 +76,10 @@ def make_cache(
         raise ValueError("page_size must be a multiple of 128 (lane width)")
     max_pages_per_seq = max_pages_per_seq or n_pages
     return PagedKVCache(
-        k_pages=jnp.zeros((n_pages, num_kv_heads, page_size, head_dim), jnp.int8),
-        v_pages=jnp.zeros((n_pages, num_kv_heads, page_size, head_dim), jnp.int8),
-        k_scales=jnp.zeros((n_pages, num_kv_heads, 1, page_size), jnp.float32),
-        v_scales=jnp.zeros((n_pages, num_kv_heads, 1, page_size), jnp.float32),
+        kv_pages=jnp.zeros(
+            (n_pages, 2, num_kv_heads, page_size, head_dim), jnp.int8),
+        kv_scales=jnp.zeros(
+            (n_pages, 2, num_kv_heads, 1, page_size), jnp.float32),
         page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
         seq_lens=jnp.zeros((max_seqs,), jnp.int32),
         page_size=page_size,
@@ -137,16 +135,15 @@ def append_tokens(
 
     kq, ks = _quantize_rows(k_new)                     # [B,Hkv,d], [B,Hkv]
     vq, vs = _quantize_rows(v_new)
+    kv = jnp.stack([kq, vq], axis=1)                   # [B, 2, Hkv, d]
+    sc = jnp.stack([ks, vs], axis=1)                   # [B, 2, Hkv]
 
-    # scatter: pages[page_ids[b], h, offset[b], :] = q[b, h, :]
-    k_pages = cache.k_pages.at[page_ids, :, offset, :].set(kq, mode="drop")
-    v_pages = cache.v_pages.at[page_ids, :, offset, :].set(vq, mode="drop")
-    k_scales = cache.k_scales.at[page_ids, :, 0, offset].set(ks, mode="drop")
-    v_scales = cache.v_scales.at[page_ids, :, 0, offset].set(vs, mode="drop")
+    # scatter: pages[page_ids[b], :, h, offset[b], :] = kv[b, :, h, :]
+    kv_pages = cache.kv_pages.at[page_ids, :, :, offset, :].set(kv, mode="drop")
+    kv_scales = cache.kv_scales.at[page_ids, :, :, 0, offset].set(sc, mode="drop")
     seq_lens = cache.seq_lens.at[seq_ids].add(1, mode="drop")
     return dataclasses.replace(
-        cache, k_pages=k_pages, v_pages=v_pages,
-        k_scales=k_scales, v_scales=v_scales, seq_lens=seq_lens,
+        cache, kv_pages=kv_pages, kv_scales=kv_scales, seq_lens=seq_lens,
     )
 
 
@@ -170,16 +167,14 @@ def append_prompt(
         page_id = int(cache.page_table[seq_id, (start + p0) // ps])
         kq, ks = _quantize_rows(chunk_k)               # [n,Hkv,d],[n,Hkv]
         vq, vs = _quantize_rows(chunk_v)
+        kv = jnp.stack(
+            [kq.transpose(1, 0, 2), vq.transpose(1, 0, 2)], axis=0
+        )                                              # [2, Hkv, n, d]
+        sc = jnp.stack([ks.transpose(1, 0), vs.transpose(1, 0)], axis=0)
         cache = dataclasses.replace(
             cache,
-            k_pages=cache.k_pages.at[page_id, :, :n, :].set(
-                kq.transpose(1, 0, 2)),
-            v_pages=cache.v_pages.at[page_id, :, :n, :].set(
-                vq.transpose(1, 0, 2)),
-            k_scales=cache.k_scales.at[page_id, :, 0, :n].set(
-                ks.transpose(1, 0)),
-            v_scales=cache.v_scales.at[page_id, :, 0, :n].set(
-                vs.transpose(1, 0)),
+            kv_pages=cache.kv_pages.at[page_id, :, :, :n, :].set(kv),
+            kv_scales=cache.kv_scales.at[page_id, :, :, 0, :n].set(sc),
         )
     cache = dataclasses.replace(
         cache, seq_lens=cache.seq_lens.at[seq_id].set(start + l)
@@ -217,13 +212,13 @@ def append_prompts(
 
     kq, ks = prep(k_prompts)
     vq, vs = prep(v_prompts)
+    kv = jnp.stack([kq, vq], axis=1)                   # [B*npg, 2, Hkv, ps, d]
+    sc = jnp.stack([ks, vs], axis=1)                   # [B*npg, 2, Hkv, 1, ps]
     page_ids = cache.page_table[seq_ids, :npg].reshape(-1)   # [B*npg]
     return dataclasses.replace(
         cache,
-        k_pages=cache.k_pages.at[page_ids].set(kq, mode="drop"),
-        v_pages=cache.v_pages.at[page_ids].set(vq, mode="drop"),
-        k_scales=cache.k_scales.at[page_ids].set(ks, mode="drop"),
-        v_scales=cache.v_scales.at[page_ids].set(vs, mode="drop"),
+        kv_pages=cache.kv_pages.at[page_ids].set(kv, mode="drop"),
+        kv_scales=cache.kv_scales.at[page_ids].set(sc, mode="drop"),
         seq_lens=cache.seq_lens.at[seq_ids].set(l, mode="drop"),
     )
 
@@ -235,13 +230,10 @@ def gather_kv(
     l = int(cache.seq_lens[seq_id])
     n_pages = cdiv(l, cache.page_size)
     ids = np.asarray(cache.page_table[seq_id, :n_pages])
-    k = jnp.asarray(cache.k_pages)[ids]                # [np, H, ps, d]
-    v = jnp.asarray(cache.v_pages)[ids]
-    ks = jnp.asarray(cache.k_scales)[ids]              # [np, H, 1, ps]
-    vs = jnp.asarray(cache.v_scales)[ids]
-    k = k.astype(jnp.float32) * ks.transpose(0, 1, 3, 2)
-    v = v.astype(jnp.float32) * vs.transpose(0, 1, 3, 2)
-    npg, h, ps, d = k.shape
-    k = k.transpose(1, 0, 2, 3).reshape(h, npg * ps, d)[:, :l]
-    v = v.transpose(1, 0, 2, 3).reshape(h, npg * ps, d)[:, :l]
-    return k.astype(dtype), v.astype(dtype)
+    kv = jnp.asarray(cache.kv_pages)[ids]              # [np, 2, H, ps, d]
+    sc = jnp.asarray(cache.kv_scales)[ids]             # [np, 2, H, 1, ps]
+    kv = kv.astype(jnp.float32) * sc.transpose(0, 1, 2, 4, 3)
+    npg, _, h, ps, d = kv.shape
+    # [np, 2, H, ps, d] -> [2, H, np*ps, d]
+    kv = kv.transpose(1, 2, 0, 3, 4).reshape(2, h, npg * ps, d)[:, :, :l]
+    return kv[0].astype(dtype), kv[1].astype(dtype)
