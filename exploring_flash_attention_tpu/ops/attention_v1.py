@@ -316,6 +316,74 @@ def _v1_onepass_kernel(
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
 
 
+def _v1_onepass_kernel_pvt(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, Lkv, d) x2
+    o_ref,                      # VMEM block:  (1, d, BQ) — transposed!
+    *,
+    scale: float,
+    q_chunk: int,
+    seq_len_kv: int,
+):
+    """One-pass kernel for small head dims (d <= 32), transposed-PV form.
+
+    At d=32 the MXU charges structurally for dark hardware: a depth-32
+    contraction runs at 1/4 rate and a 32-lane output at 1/4 rate
+    (measured, scripts/ab_d32_mxu_rates.py — depth-64 at 1/2 confirms
+    linearity), and packing/padding schemes trade zeros for utilization
+    exactly 1:1, so QK^T is pinned at 1/4 rate in every algebraic form.
+    P@V is not: computed transposed (O^T = V^T @ P^T) it contracts over
+    the FULL KV length with full output lanes, paying only an M=32
+    streaming penalty — measured 1.7x faster per useful FLOP than the
+    32-lane direct product.
+
+    Scores are therefore computed transposed from the start and the
+    softmax reduces over sublanes instead of lanes.  No transpose is ever
+    materialized in-kernel: S^T and O^T come out of dot_general dimension
+    numbers directly (S^T = contract d x d of (K, Q-strip); O^T = contract
+    Lkv x Lkv of (V, P^T)), and the output block is written [d, BQ] with
+    the final layout restore done by one XLA swapaxes in the wrapper
+    (in-kernel [32, 1024] Mosaic transposes measured 2x the cost).
+    Measured at B=32,H=8,L=1024,d=32: 35.0 -> 40.9 TFLOP/s."""
+    block_q = q_ref.shape[1]
+    lkv_blk = k_ref.shape[1]
+    c = scale * LOG2E
+    k = k_ref[0]                                   # [Lkv, d]
+    v = v_ref[0]
+    needs_kv_mask = seq_len_kv % lkv_blk != 0
+    if needs_kv_mask:
+        # zero padded V rows: 0 * NaN would poison the P@V matmul
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
+        v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        qc = q_ref[0, q0:q0 + rows, :]
+        st = jax.lax.dot_general(
+            k, qc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(k, qc),
+        )                                          # [Lkv, rows] = S^T
+        if needs_kv_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, rows), 0)
+            st = jnp.where(row < seq_len_kv, st, NEG_INF)
+        m = jnp.max(st, axis=0, keepdims=True) * c  # [1, rows]
+        p = jnp.exp2(st * c - m)
+        if needs_kv_mask:
+            p = jnp.where(jnp.isneginf(st), 0.0, p)
+        denom = jnp.sum(p, axis=0, keepdims=True)   # [1, rows]
+        ot = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(v),
+        )                                          # [d, rows] = O^T
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, :, q0:q0 + rows] = (ot / denom).astype(o_ref.dtype)
+
+
+# transposed-PV pays off while the M=d stream is the cheaper waste; at
+# d >= 64 the direct form's lane utilization (1/2) beats the transposed
+# stream (measured: PV direct d=64 69.7 vs full 138.9 TFLOP/s)
+PVT_MAX_D = 32
+
+
 def _flash_attention_v1_onepass(
     qf, kf, vf,                  # [n_bh, L, d] / [n_bh_kv, L, d] x2
     scale: float,
@@ -330,14 +398,27 @@ def _flash_attention_v1_onepass(
     block_q = cap_onepass_block_q(block_q, lkv)
     block_q = min(block_q, max(lq, 8))
     n_q = cdiv(lq, block_q)
+    pvt = d <= PVT_MAX_D
+    if pvt:
+        # transposed-PV: whole-block strips measured fastest (fewer,
+        # larger matmuls beat strip-level MXU/VPU overlap at small d)
+        default_chunk = block_q
+    else:
+        default_chunk = ONEPASS_Q_CHUNK
     kernel = functools.partial(
-        _v1_onepass_kernel,
+        _v1_onepass_kernel_pvt if pvt else _v1_onepass_kernel,
         scale=scale,
-        q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
+        q_chunk=min(q_chunk or default_chunk, block_q),
         seq_len_kv=lkv,
     )
+    if pvt:
+        out_specs = pl.BlockSpec((1, d, block_q), lambda bh, qi: (bh, 0, qi))
+        out_shape = jax.ShapeDtypeStruct((n_bh, d, lq), out_dtype)
+    else:
+        out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
+        out_shape = jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype)
     flops = 4 * n_bh * lq * lkv * d
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_bh, n_q),
         in_specs=[
@@ -347,8 +428,8 @@ def _flash_attention_v1_onepass(
             pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh // kv_group, 0, 0)),
             pl.BlockSpec((1, lkv, d), lambda bh, qi: (bh // kv_group, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -360,6 +441,9 @@ def _flash_attention_v1_onepass(
         ),
         interpret=interpret,
     )(qf, kf, vf)
+    # restore [n_bh, L, d] from the kernel's transposed output layout
+    # (one fused XLA transpose — cheaper than Mosaic in-kernel transposes)
+    return out.swapaxes(1, 2) if pvt else out
 
 
 @functools.partial(
