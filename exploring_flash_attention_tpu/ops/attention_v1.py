@@ -307,11 +307,18 @@ def _v1_onepass_kernel(
         p = jnp.exp2(s * c - m)
         if needs_kv_mask:
             p = jnp.where(jnp.isneginf(s), 0.0, p)
-        denom = jnp.sum(p, axis=1, keepdims=True)
+        # Cast p to the storage dtype once and derive BOTH matmul operand
+        # and denominator from it: the f32 score strip is read exactly
+        # once after exp2, and numerator/denominator rounding partially
+        # cancels in O = pv/denom.  Summing after the PV dot_general lets
+        # the VPU reduction ride under the MXU matmul (measured ~2% at
+        # the canonical shape; scripts/proto_onepass10.py).
+        pb = p.astype(v.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            pb, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dot_precision(v),
         )
+        denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
 
