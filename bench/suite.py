@@ -543,8 +543,41 @@ def bench_long_kv_8k():
          f"{sec*1e3:.3f} ms non-causal L_kv=8192 via span route")
 
 
+def bench_fwd_causal():
+    """Causal forward at the canonical shape through the one-pass causal
+    kernel (static per-strip KV truncation: the streaming kernel's
+    whole-tile FLOP skip without its online-softmax state; measured 2.25x
+    streaming at this shape).  Gate at the bf16 causal tier: early rows
+    average few V rows so outputs reach |2|, and bf16 rounding alone is
+    ~8e-3 there (streaming measures the same)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 128
+    q, k, v = _qkv_bf16(2, 4, 512, d, seed=0)
+    out = np.asarray(flash_attention_v1(
+        q, k, v, causal=True, out_dtype=jnp.float32))
+    ref = naive_attention(
+        *(np.asarray(x.astype(jnp.float32)) for x in (q, k, v)), causal=True)
+    err = gate(out, ref, 1e-2, "fwd_causal")
+
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    cfg = TileConfig(block_q=1024, block_kv=1024)
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1(x, kb, vb, config=cfg, causal=True), qb)
+    tf = attention_flops(b, h, l, l, d, causal=True) / sec / 1e12
+    emit("fwd_causal_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms causal one-pass, gate {err:.1e}")
+
+
 ALL = {
     "fwd_d128": bench_fwd_d128,
+    "fwd_causal": bench_fwd_causal,
     "longkv_8k": bench_long_kv_8k,
     "fwd_d32": bench_fwd_d32,
     "fwd_streaming": bench_fwd_streaming,

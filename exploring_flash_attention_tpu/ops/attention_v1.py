@@ -323,6 +323,132 @@ def _v1_onepass_kernel(
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
 
 
+def _v1_onepass_causal_kernel(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, VIS, d) x2
+    o_ref,                      # VMEM block:  (1, BQ, d)
+    *,
+    scale: float,
+    q_chunk: int,
+    q_base: int,                # global q position of this block's row 0
+    diag_off: int,              # lkv - lq (causal diagonal offset)
+):
+    """Causal single-pass softmax for VMEM-resident KV.
+
+    The causal structure is exploited *statically*: the wrapper hands each
+    q block only its visible KV prefix (k_ref covers [0, vis)), and inside
+    the kernel every q strip truncates its matmuls to its own visible span
+    — strip [q0, q0+rows) contracts against K[:q0+rows+diag] only.  Total
+    work is L(L+q_chunk)/2 instead of L^2 (the FLOP halving the streaming
+    kernel gets from whole-tile skipping, without the online-softmax
+    state), and each strip's softmax is single-pass because its span is
+    complete.  Only the trailing diagonal band of each strip needs a mask.
+
+    Extends the reference's causal-free surface the same way the streaming
+    kernel does (flash_attention_v1/CUDA/flash_attention_v1.h has no mask);
+    the strip truncation generalizes the V2 split-KV span discipline
+    (/root/reference/flash_attention_v2/CUDA/flash_attention_v2.h:250-253)
+    to a static per-strip bound."""
+    block_q = q_ref.shape[1]
+    vis_blk = k_ref.shape[1]
+    c = scale * LOG2E
+    k = k_ref[0]
+    v = v_ref[0]
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        # columns visible to this strip's last row, lane-aligned
+        span_exact = q_base + q0 + rows + diag_off
+        span = min(vis_blk, -(-max(span_exact, 1) // STATS_LANES)
+                   * STATS_LANES)
+        if span <= 0:
+            o_ref[0, q0:q0 + rows, :] = jnp.zeros(
+                (rows, o_ref.shape[2]), o_ref.dtype)
+            continue
+        q = q_ref[0, q0:q0 + rows, :]
+        ks = k[:span]
+        vs = v[:span]
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, ks),
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0)
+        mask = col <= row + (q_base + q0 + diag_off)
+        s_m = jnp.where(mask, s * c, NEG_INF)
+        m = jnp.max(s_m, axis=1, keepdims=True)
+        # fully-masked rows (cross-length with lkv < lq): m = -inf would
+        # make the exp argument NaN; substitute 0 so p = exp2(-inf) = 0
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        pb = jnp.exp2(s_m - m_safe).astype(v.dtype)
+        pv = jax.lax.dot_general(
+            pb, vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(vs),
+        )
+        denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+
+
+def _flash_attention_v1_onepass_causal(
+    qf, kf, vf,                  # [n_bh, Lq, d] / [n_bh_kv, Lkv, d] x2
+    scale: float,
+    out_dtype,
+    interpret: bool,
+    q_chunk: Optional[int] = None,
+    kv_group: int = 1,
+):
+    """Causal one-pass launcher: one pallas_call per q block, each handed
+    only its visible KV prefix (static XLA-level slice, so the late
+    blocks' wide spans never inflate the early blocks' VMEM budget)."""
+    n_bh, lq, d = qf.shape
+    lkv = kf.shape[1]
+    diag_off = lkv - lq
+    block_q = min(1024, lq) if lq % 1024 == 0 or lq <= 1024 else 512
+    block_q = cap_onepass_block_q(block_q, lkv)
+    block_q = min(block_q, max(lq, 8))
+    chunk = min(q_chunk or ONEPASS_Q_CHUNK, block_q)
+    outs = []
+    for q_base in range(0, lq, block_q):
+        bq = min(block_q, lq - q_base)
+        vis = diag_off + q_base + bq
+        vis = -(-max(vis, 1) // STATS_LANES) * STATS_LANES  # lane-align up
+        vis = max(8, min(lkv, vis))
+        kernel = functools.partial(
+            _v1_onepass_causal_kernel,
+            scale=scale,
+            q_chunk=min(chunk, bq),
+            q_base=q_base,
+            diag_off=diag_off,
+        )
+        flops = 2 * n_bh * bq * (diag_off + q_base + bq // 2) * d * 2
+        out_i = pl.pallas_call(
+            kernel,
+            grid=(n_bh, 1),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, vis, d),
+                             lambda bh, qi: (bh // kv_group, 0, 0)),
+                pl.BlockSpec((1, vis, d),
+                             lambda bh, qi: (bh // kv_group, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_bh, bq, d), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=max(flops, 1),
+                bytes_accessed=(n_bh * bq * d * 2
+                                + 2 * kf.shape[0] * vis * d
+                                * kf.dtype.itemsize),
+                transcendentals=n_bh * bq * max(vis, 1),
+            ),
+            interpret=interpret,
+        )(qf[:, q_base:q_base + bq], kf[:, :vis], vf[:, :vis])
+        outs.append(out_i)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _v1_onepass_kernel_pvt(
     q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, Lkv, d) x2
     o_ref,                      # VMEM block:  (1, d, BQ) — transposed!
@@ -508,18 +634,32 @@ def flash_attention_v1(
     vf = v.reshape(b * h_kv, lkv, d)
 
     # Fast path: whole-KV-resident one-pass softmax (no online state, no
-    # accumulator read-modify-write) whenever KV fits VMEM and the kernel
-    # doesn't need the FLOP-halving causal tile skip (~1.3x over streaming
-    # at the canonical shape; scripts/proto_onepass*.py).  config.one_pass
+    # accumulator read-modify-write) whenever KV fits VMEM (~1.3x over
+    # streaming non-causal, 1.7-2.25x causal via static strip truncation;
+    # scripts/proto_onepass*.py, ab_causal_onepass.py).  config.one_pass
     # overrides: False always streams, True requires eligibility.
     eligible = not causal and fits_onepass(lkv, d)
-    if config.one_pass and not eligible:
+    # Causal one-pass: static per-strip KV truncation does the FLOP halving
+    # without online-softmax state (see _v1_onepass_causal_kernel).  Needs
+    # lane-sliceable lengths and a head dim on the direct-PV path.
+    causal_eligible = (
+        causal and window is None and fits_onepass(lkv, d)
+        and d > PVT_MAX_D and lq % 8 == 0 and lkv % 8 == 0
+    )
+    if config.one_pass and not (eligible or causal_eligible):
         raise ValueError(
-            "one_pass=True requires a non-causal call whose KV fits VMEM "
-            f"(L_kv={lkv}, d={d}, causal={causal})"
+            "one_pass=True requires a call whose KV fits VMEM (and, for "
+            f"causal, no window and 8-aligned lengths); got L_kv={lkv}, "
+            f"d={d}, causal={causal}, window={window}"
         )
     if eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass(
+            qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
+            q_chunk=config.q_chunk, kv_group=kv_group,
+        )
+        return out.reshape(b, h, lq, d)
+    if causal_eligible and config.one_pass is not False:
+        out = _flash_attention_v1_onepass_causal(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
             q_chunk=config.q_chunk, kv_group=kv_group,
         )

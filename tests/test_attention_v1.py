@@ -112,9 +112,46 @@ def test_v1_scale_override(one_pass):
 
 
 def test_v1_one_pass_forced_requires_eligibility():
+    # sliding-window attention has no one-pass kernel
     q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
     with pytest.raises(ValueError, match="one_pass"):
-        run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+        run_v1(q, k, v, causal=True, window=16,
+               config=TileConfig(one_pass=True))
+    # neither does a KV beyond the VMEM budget
+    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seq_len_kv=8192,
+                       seed=9)
+    with pytest.raises(ValueError, match="one_pass"):
+        run_v1(q, k, v, config=TileConfig(one_pass=True))
+
+
+def test_v1_causal_onepass_forced():
+    # causal IS one-pass eligible now: static per-strip KV truncation
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=10)
+    out = run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+    assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
+
+
+def test_v1_causal_onepass_matches_streaming():
+    q, k, v = make_qkv(1, 2, 512, 64, dtype=np.float32, seed=11)
+    a = run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+    b = run_v1(q, k, v, causal=True, config=TileConfig(one_pass=False))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_v1_causal_onepass_multiblock():
+    # L=2048 splits into two q-block pallas_calls with growing KV spans
+    q, k, v = make_qkv(1, 1, 2048, 64, dtype=np.float32, seed=12)
+    out = run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+    assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
+
+
+def test_v1_causal_onepass_gqa_cross_length():
+    q, _, _ = make_qkv(1, 4, 128, 64, dtype=np.float32, seed=13)
+    _, k, v = make_qkv(1, 2, 384, 64, dtype=np.float32, seed=14)
+    out = run_v1(q, k, v, causal=True, config=TileConfig(one_pass=True))
+    ref = naive_attention(q, np.repeat(k, 2, axis=1), np.repeat(v, 2, axis=1),
+                          causal=True)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
 
 
 @pytest.mark.parametrize("window", [1, 32, 100])
