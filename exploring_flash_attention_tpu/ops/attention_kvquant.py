@@ -150,9 +150,10 @@ def _kvquant_onepass_kernel(
 
         m = jnp.max(s, axis=1, keepdims=True)
         arg = jnp.where(jnp.isneginf(m), NEG_INF, s - m)
-        p = jnp.exp2(arg)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        p_lp = p.astype(compute_dtype)
+        # compute-dtype p feeds BOTH the PV matmuls and the denominator,
+        # summed after them (headline kernel's measured ordering, ~2%;
+        # scripts/proto_onepass10.py)
+        p_lp = jnp.exp2(arg).astype(compute_dtype)
         outs = []
         for kb in range(n_kv):
             k0 = kb * kv_block
@@ -164,6 +165,7 @@ def _kvquant_onepass_kernel(
             )
             outs.append(pv * vs_ref[bh * n_kv + kb])    # fused V dequant
         pv = functools.reduce(lambda a, b: a + b, outs)
+        l = jnp.sum(p_lp.astype(jnp.float32), axis=1, keepdims=True)
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
 

@@ -324,13 +324,13 @@ def _v1_onepass_kernel(
 
 
 def _v1_onepass_causal_kernel(
-    q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, VIS, d) x2
-    o_ref,                      # VMEM block:  (1, BQ, d)
-    *,
+    *refs,                      # q (1,BQ,d), k/v (1,VIS,d), o (1,BQ,d)
+                                # [, lse (1,8,BQ) when with_lse]
     scale: float,
     q_chunk: int,
     q_base: int,                # global q position of this block's row 0
-    diag_off: int,              # lkv - lq (causal diagonal offset)
+    diag_off: int,              # q_pos0 - kv_pos0 (causal diagonal offset)
+    with_lse: bool = False,
 ):
     """Causal single-pass softmax for VMEM-resident KV.
 
@@ -347,7 +347,15 @@ def _v1_onepass_causal_kernel(
     kernel does (flash_attention_v1/CUDA/flash_attention_v1.h has no mask);
     the strip truncation generalizes the V2 split-KV span discipline
     (/root/reference/flash_attention_v2/CUDA/flash_attention_v2.h:250-253)
-    to a static per-strip bound."""
+    to a static per-strip bound.
+
+    ``with_lse``: also emit the natural-log row LSE (the split-KV /
+    ring partial contract, attention_v2_splitkv.py) so the training
+    forward can keep the residual the backward needs."""
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     block_q = q_ref.shape[1]
     vis_blk = k_ref.shape[1]
     c = scale * LOG2E
@@ -362,6 +370,9 @@ def _v1_onepass_causal_kernel(
         if span <= 0:
             o_ref[0, q0:q0 + rows, :] = jnp.zeros(
                 (rows, o_ref.shape[2]), o_ref.dtype)
+            if with_lse:
+                lse_ref[0, :, q0:q0 + rows] = jnp.full(
+                    (8, rows), NEG_INF, jnp.float32)
             continue
         q = q_ref[0, q0:q0 + rows, :]
         ks = k[:span]
@@ -384,9 +395,18 @@ def _v1_onepass_causal_kernel(
             pb, vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dot_precision(vs),
         )
-        denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
-        denom = jnp.where(denom == 0.0, 1.0, denom)
+        l_raw = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+        denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+        if with_lse:
+            # natural-log LSE over the visible span: max(s*scale) + ln(l);
+            # m is in the exp2-scaled basis (max(s)*scale*log2e)
+            lse = jnp.where(
+                l_raw[:, 0] == 0.0, NEG_INF,
+                m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
+            )
+            lse_ref[0, :, q0:q0 + rows] = jnp.broadcast_to(
+                lse[None, :], (8, rows))
 
 
 def _flash_attention_v1_onepass_causal(
@@ -396,18 +416,24 @@ def _flash_attention_v1_onepass_causal(
     interpret: bool,
     q_chunk: Optional[int] = None,
     kv_group: int = 1,
+    diag_off: Optional[int] = None,
+    with_lse: bool = False,
 ):
     """Causal one-pass launcher: one pallas_call per q block, each handed
     only its visible KV prefix (static XLA-level slice, so the late
-    blocks' wide spans never inflate the early blocks' VMEM budget)."""
+    blocks' wide spans never inflate the early blocks' VMEM budget).
+
+    ``with_lse`` also returns the natural-log row LSE [n_bh, Lq] f32."""
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
-    diag_off = lkv - lq
+    if diag_off is None:
+        diag_off = lkv - lq
     block_q = min(1024, lq) if lq % 1024 == 0 or lq <= 1024 else 512
     block_q = cap_onepass_block_q(block_q, lkv)
     block_q = min(block_q, max(lq, 8))
     chunk = min(q_chunk or ONEPASS_Q_CHUNK, block_q)
     outs = []
+    lses = []
     for q_base in range(0, lq, block_q):
         bq = min(block_q, lq - q_base)
         vis = diag_off + q_base + bq
@@ -419,7 +445,15 @@ def _flash_attention_v1_onepass_causal(
             q_chunk=min(chunk, bq),
             q_base=q_base,
             diag_off=diag_off,
+            with_lse=with_lse,
         )
+        out_specs = pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0))
+        out_shape = jax.ShapeDtypeStruct((n_bh, bq, d), out_dtype)
+        if with_lse:
+            out_specs = [out_specs,
+                         pl.BlockSpec((1, 8, bq), lambda bh, qi: (bh, 0, qi))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((n_bh, 8, bq), jnp.float32)]
         flops = 2 * n_bh * bq * (diag_off + q_base + bq // 2) * d * 2
         out_i = pl.pallas_call(
             kernel,
@@ -431,8 +465,8 @@ def _flash_attention_v1_onepass_causal(
                 pl.BlockSpec((1, vis, d),
                              lambda bh, qi: (bh // kv_group, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_bh, bq, d), out_dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
@@ -445,8 +479,59 @@ def _flash_attention_v1_onepass_causal(
             ),
             interpret=interpret,
         )(qf[:, q_base:q_base + bq], kf[:, :vis], vf[:, :vis])
-        outs.append(out_i)
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        if with_lse:
+            outs.append(out_i[0])
+            lses.append(out_i[1][:, 0, :])
+        else:
+            outs.append(out_i)
+    o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    if not with_lse:
+        return o
+    lse = lses[0] if len(lses) == 1 else jnp.concatenate(lses, axis=1)
+    return o, lse
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "static_positions", "q_chunk", "interpret"),
+)
+def flash_attention_v1_causal_partial(
+    q: jax.Array,               # [B, H, Lq, d]
+    k: jax.Array,               # [B, H_kv, Lkv, d]
+    v: jax.Array,
+    scale: Optional[float] = None,
+    static_positions: Optional[tuple] = None,
+    q_chunk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Causal partial-attention forward over the FULL KV via the one-pass
+    causal kernel: returns (o [B,H,Lq,d] f32 normalized, lse [B,H,Lq] f32
+    natural log) — the single-shard partial contract of
+    parallel.partials.attention_partial_local, at the causal one-pass
+    kernel's speed (QK^T, softmax and PV all truncated per strip, vs the
+    split-KV partial's QK^T-only chunk skip)."""
+    b, h, lq, d = q.shape
+    h_kv, lkv = k.shape[1], k.shape[2]
+    kv_group = h // h_kv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    q_pos0, kv_pos0 = static_positions or (lkv - lq, 0)
+    o, lse = _flash_attention_v1_onepass_causal(
+        q.reshape(b * h, lq, d),
+        k.reshape(b * h_kv, lkv, d),
+        v.reshape(b * h_kv, lkv, d),
+        scale, jnp.float32, _resolve_interpret(interpret),
+        q_chunk=q_chunk, kv_group=kv_group,
+        diag_off=int(q_pos0) - int(kv_pos0), with_lse=True,
+    )
+    return o.reshape(b, h, lq, d), lse.reshape(b, h, lq)
+
+
+def causal_partial_onepass_eligible(lq: int, lkv: int, d: int) -> bool:
+    """Shapes the causal one-pass partial can serve (mirrors the
+    flash_attention_v1 causal_eligible gate)."""
+    return (fits_onepass(lkv, d) and d > PVT_MAX_D
+            and lq % 8 == 0 and lkv % 8 == 0)
 
 
 def _v1_onepass_kernel_pvt(
@@ -502,11 +587,14 @@ def _v1_onepass_kernel_pvt(
         p = jnp.exp2(st * c - m)
         if needs_kv_mask:
             p = jnp.where(jnp.isneginf(st), 0.0, p)
-        denom = jnp.sum(p, axis=0, keepdims=True)   # [1, rows]
+        # storage-dtype p feeds matmul and denominator; sum after the
+        # matmul (headline ordering, scripts/proto_onepass10.py)
+        pb = p.astype(v.dtype)
         ot = jax.lax.dot_general(
-            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            v, pb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dot_precision(v),
         )                                          # [d, rows] = O^T
+        denom = jnp.sum(pb.astype(jnp.float32), axis=0, keepdims=True)
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0, :, q0:q0 + rows] = (ot / denom).astype(o_ref.dtype)
 

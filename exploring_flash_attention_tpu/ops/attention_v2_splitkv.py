@@ -146,13 +146,17 @@ def _onepass_partial_kernel(
 
             m = jnp.max(s, axis=1, keepdims=True)
             arg = jnp.where(jnp.isneginf(m), NEG_INF, s * c - m * c)
-            p = jnp.exp2(arg)
-            l = jnp.sum(p, axis=1, keepdims=True)
+            # storage-dtype p feeds BOTH the PV matmul and the denominator
+            # (summed after the matmul so the VPU reduction rides under the
+            # MXU — the headline kernel's measured ordering, ~2%;
+            # scripts/proto_onepass10.py)
+            p = jnp.exp2(arg).astype(v.dtype)
             pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=dot_precision(v),
             )
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
             denom = jnp.where(l == 0.0, 1.0, l)
             o_part_ref[0, 0, q0:q0 + rows, :] = (pv / denom).astype(
                 o_part_ref.dtype)

@@ -42,6 +42,25 @@ def attention_partial_local(
     offsets known at trace time go in ``static_positions`` instead (enables
     trace-time causal FLOP skipping)."""
     lkv = k.shape[2]
+    # Causal with static offsets over a VMEM-resident KV: the causal
+    # one-pass kernel truncates QK^T, softmax AND PV per strip (the
+    # split-KV partial below only skips QK^T chunks) — measured ~2x at
+    # L=1024 (scripts/ab_causal_onepass.py).  Traced offsets (ring shards)
+    # keep the dynamic-masking split-KV path.
+    if causal and positions is None:
+        from exploring_flash_attention_tpu.ops.attention_v1 import (
+            causal_partial_onepass_eligible,
+            flash_attention_v1_causal_partial,
+        )
+
+        lq = q.shape[2]
+        if causal_partial_onepass_eligible(lq, lkv, q.shape[3]):
+            sp = static_positions or (lkv - lq, 0)
+            return flash_attention_v1_causal_partial(
+                q, k, v, scale=scale,
+                static_positions=(int(sp[0]), int(sp[1])),
+                q_chunk=config.q_chunk, interpret=interpret,
+            )
     # the launcher clamps blocks to the actual lengths itself; keep the
     # user's (validated, pow2) block sizes in the config and only size the
     # span so one block covers the whole shard
