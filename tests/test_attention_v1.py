@@ -145,6 +145,37 @@ def test_v1_causal_onepass_multiblock():
     assert error_stats(out, naive_attention(q, k, v, causal=True))["max_abs"] < 2e-5
 
 
+@pytest.mark.parametrize("window", [1, 96, 128])
+def test_v1_window_onepass(window):
+    # sliding-window one-pass: Element-indexed KV band slides per q block
+    q, k, v = make_qkv(1, 2, 512, 64, dtype=np.float32, seed=15)
+    a = run_v1(q, k, v, causal=True, window=window,
+               config=TileConfig(one_pass=True))
+    ref = naive_attention(q, k, v, causal=True, window=window)
+    assert error_stats(a, ref)["max_abs"] < 2e-5
+    b = run_v1(q, k, v, causal=True, window=window,
+               config=TileConfig(one_pass=False))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_v1_window_onepass_multiblock_gqa():
+    q, _, _ = make_qkv(1, 4, 1024, 64, dtype=np.float32, seed=16)
+    _, k, v = make_qkv(1, 2, 1024, 64, dtype=np.float32, seed=17)
+    out = run_v1(q, k, v, causal=True, window=200,
+                 config=TileConfig(one_pass=True))
+    ref = naive_attention(q, np.repeat(k, 2, axis=1),
+                          np.repeat(v, 2, axis=1), causal=True, window=200)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+def test_v1_window_covering_band_is_plain_causal():
+    # window >= L_kv masks nothing: must route (and agree) with causal
+    q, k, v = make_qkv(1, 1, 256, 64, dtype=np.float32, seed=18)
+    a = run_v1(q, k, v, causal=True, window=512)
+    b = run_v1(q, k, v, causal=True)
+    np.testing.assert_allclose(a, b, atol=0, rtol=0)
+
+
 def test_v1_causal_onepass_gqa_cross_length():
     q, _, _ = make_qkv(1, 4, 128, 64, dtype=np.float32, seed=13)
     _, k, v = make_qkv(1, 2, 384, 64, dtype=np.float32, seed=14)
