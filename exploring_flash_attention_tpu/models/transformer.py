@@ -61,6 +61,11 @@ class ModelConfig:
     # ICI (O(L_local) memory, scales to the 128K tier); "allgather" gathers
     # the full K/V per layer (O(L_global) — short sequences only)
     sp_attn: str = "ring"
+    # sliding-window (local) attention width for every layer; None = full
+    # causal.  Trains through the banded one-pass fwd + banded bwd
+    # (O(L*window) attention cost).  Not yet composable with sequence
+    # parallelism (ring/allgather shards would need banded exchange).
+    window: Optional[int] = None
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -69,6 +74,8 @@ class ModelConfig:
             raise ValueError("RoPE needs an even d_head")
         if self.sp_attn not in ("ring", "allgather"):
             raise ValueError(f"unknown sp_attn {self.sp_attn!r}")
+        if self.window is not None and self.window < 1:
+            raise ValueError(f"window must be >= 1, got {self.window}")
 
 
 def init_params(config: ModelConfig, seed: int = 0) -> Params:
@@ -153,6 +160,10 @@ def _attn_block(
     # GQA: the kernels share the KV head across each q-head group natively
     # (BlockSpec bh // group) — no repeated KV is materialized
 
+    if sp_axis is not None and c.window is not None:
+        raise NotImplementedError(
+            "sliding-window attention is not composable with sequence "
+            "parallelism yet — use window=None or sp=1")
     if sp_axis is not None and c.sp_attn == "ring":
         # differentiable ring: K/V shards rotate over ICI, every chip keeps
         # O(L_local) memory in forward AND backward — the sp strategy that
@@ -173,7 +184,7 @@ def _attn_block(
             positions = None
         o = flash_attention(
             q, k, v, config=c.tile, causal=True, interpret=interpret,
-            positions=positions,
+            positions=positions, window=c.window,
         )                                               # [B, H, Ll, dh]
     out = jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
     if tp_axis is not None:

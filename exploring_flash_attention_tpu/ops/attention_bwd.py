@@ -56,6 +56,7 @@ def _recompute_p(
     causal: bool,
     q_start, kv_start,           # LOCAL element offsets of tile row/col 0
     q_pos0, kv_pos0,             # global positions of shard row/col 0
+    window=None,                 # sliding-window width (causal only)
     block_q: int,
     block_kv: int,
     seq_len_q: int,
@@ -82,6 +83,12 @@ def _recompute_p(
             mask = qmask if mask is None else jnp.logical_and(mask, qmask)
         if causal:
             cmask = (col + kv_pos0) <= (row + q_start + q_pos0)
+            if window is not None:
+                cmask = jnp.logical_and(
+                    cmask,
+                    (col + kv_pos0)
+                    >= (row + q_start + q_pos0) - window + 1,
+                )
             mask = cmask if mask is None else jnp.logical_and(mask, cmask)
     # p = exp2(s * (scale*log2e) - lse*log2e); guard fully-masked rows
     # (lse == -inf would otherwise make the argument +inf -> p = inf)
@@ -116,6 +123,7 @@ def _dkv_kernel(
     seq_len_kv: int,
     causal: bool,
     out_dtype,
+    window=None,
 ):
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
@@ -132,6 +140,13 @@ def _dkv_kernel(
     if causal:
         visible = (kv_start + offs_ref[0, 1]
                    <= q_start + block_q - 1 + offs_ref[0, 0])
+        if window is not None:
+            # tiles entirely LEFT of the band contribute nothing either
+            visible = jnp.logical_and(
+                visible,
+                kv_start + block_kv - 1 + offs_ref[0, 1]
+                >= q_start + offs_ref[0, 0] - window + 1,
+            )
     else:
         visible = True
 
@@ -149,6 +164,7 @@ def _dkv_kernel(
             q_start=q_start,
             kv_start=kv_start,
             q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+            window=window,
             block_q=block_q, block_kv=block_kv,
             seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
             needs_q_mask=seq_len_q % block_q != 0,
@@ -200,6 +216,7 @@ def _dq_kernel(
     seq_len_kv: int,
     causal: bool,
     out_dtype,
+    window=None,
 ):
     ki = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -213,6 +230,12 @@ def _dq_kernel(
     if causal:
         visible = (kv_start + offs_ref[0, 1]
                    <= q_start + block_q - 1 + offs_ref[0, 0])
+        if window is not None:
+            visible = jnp.logical_and(
+                visible,
+                kv_start + block_kv - 1 + offs_ref[0, 1]
+                >= q_start + offs_ref[0, 0] - window + 1,
+            )
     else:
         visible = True
 
@@ -229,6 +252,7 @@ def _dq_kernel(
             q_start=q_start,
             kv_start=kv_start,
             q_pos0=offs_ref[0, 0], kv_pos0=offs_ref[0, 1],
+            window=window,
             block_q=block_q, block_kv=block_kv,
             seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
             needs_q_mask=seq_len_q % block_q != 0,
@@ -268,6 +292,7 @@ def _dkv_onepass_kernel(
     seq_len_kv: int,
     causal: bool,
     out_dtype,
+    window=None,
 ):
     """One-pass dK/dV: the whole Q/dO sequence is VMEM-resident, processed
     in strips — no per-Q-tile grid steps, Q/dO read from HBM once per KV
@@ -288,6 +313,12 @@ def _dkv_onepass_kernel(
             visible = (kv_start + offs_ref[0, 1]) <= (
                 q0 + rows - 1 + offs_ref[0, 0]
             )
+            if window is not None:
+                visible = jnp.logical_and(
+                    visible,
+                    kv_start + block_kv - 1 + offs_ref[0, 1]
+                    >= q0 + offs_ref[0, 0] - window + 1,
+                )
         else:
             visible = True
 
@@ -311,6 +342,12 @@ def _dkv_onepass_kernel(
                     jnp.int32, (rows, block_kv), 1)
                 mask = (col + kv_start + offs_ref[0, 1]) <= (
                     row + q0 + offs_ref[0, 0])
+                if window is not None:
+                    mask = jnp.logical_and(
+                        mask,
+                        (col + kv_start + offs_ref[0, 1])
+                        >= (row + q0 + offs_ref[0, 0]) - window + 1,
+                    )
                 arg = jnp.where(mask, arg, NEG_INF)
             arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
             p = jnp.exp2(arg)
@@ -351,6 +388,7 @@ def _dq_onepass_kernel(
     seq_len_kv: int,
     causal: bool,
     out_dtype,
+    window=None,
 ):
     """One-pass dQ: the whole K/V sequence is VMEM-resident, processed in
     strips with the Q tile's (lse, delta) loaded once."""
@@ -369,6 +407,12 @@ def _dq_onepass_kernel(
             visible = (k0 + offs_ref[0, 1]) <= (
                 q_start + block_q - 1 + offs_ref[0, 0]
             )
+            if window is not None:
+                visible = jnp.logical_and(
+                    visible,
+                    k0 + cols - 1 + offs_ref[0, 1]
+                    >= q_start + offs_ref[0, 0] - window + 1,
+                )
         else:
             visible = True
 
@@ -387,6 +431,12 @@ def _dq_onepass_kernel(
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, cols), 1)
                 mask = (col + k0 + offs_ref[0, 1]) <= (
                     row + q_start + offs_ref[0, 0])
+                if window is not None:
+                    mask = jnp.logical_and(
+                        mask,
+                        (col + k0 + offs_ref[0, 1])
+                        >= (row + q_start + offs_ref[0, 0]) - window + 1,
+                    )
                 arg = jnp.where(mask, arg, NEG_INF)
             arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
             p = jnp.exp2(arg)
@@ -422,6 +472,7 @@ def _fused_bwd_kernel(
     k_dtype,
     v_dtype,
     static_positions=None,
+    window=None,
 ):
     """Fused one-pass backward: one program per (b, h) with Q/K/V/dO fully
     VMEM-resident computes dQ, dK and dV together, sharing the S and dP
@@ -457,12 +508,21 @@ def _fused_bwd_kernel(
             rows = min(q_strip, seq_len_q - q0)
             if causal:
                 visible = (k0 + kv_pos0) <= (q0 + rows - 1 + q_pos0)
+                if window is not None:
+                    in_band = ((k0 + cols - 1 + kv_pos0)
+                               >= (q0 + q_pos0) - window + 1)
+                    visible = (visible and in_band) if static \
+                        else jnp.logical_and(visible, in_band)
                 if static and not visible:
                     continue                       # pruned at trace time
-                # pair strictly below the diagonal => no masking needed
+                # pair strictly below the diagonal (and, with a window,
+                # strictly inside its left edge) => no masking needed
                 mask_free = static and (
                     (k0 + cols - 1 + kv_pos0) <= (q0 + q_pos0)
-                )
+                ) and (window is None or (
+                    (k0 + kv_pos0)
+                    >= (q0 + rows - 1 + q_pos0) - window + 1
+                ))
             else:
                 visible = True
                 mask_free = True
@@ -487,6 +547,12 @@ def _fused_bwd_kernel(
                     col = jax.lax.broadcasted_iota(
                         jnp.int32, (rows, cols), 1)
                     cm = (col + k0 + kv_pos0) <= (row + q0 + q_pos0)
+                    if window is not None:
+                        cm = jnp.logical_and(
+                            cm,
+                            (col + k0 + kv_pos0)
+                            >= (row + q0 + q_pos0) - window + 1,
+                        )
                     arg = jnp.where(cm, arg, NEG_INF)
                 if guard_empty_rows:
                     arg = jnp.where(jnp.isneginf(lse_row), NEG_INF, arg)
@@ -530,7 +596,7 @@ def _pad_stats(x: jax.Array, n_bh: int, l: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("config", "causal", "scale", "interpret",
-                     "static_positions"),
+                     "static_positions", "window"),
 )
 def flash_attention_bwd(
     q: jax.Array,                  # [B, H, Lq, d]
@@ -545,8 +611,12 @@ def flash_attention_bwd(
     interpret: Optional[bool] = None,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
     static_positions: Optional[Tuple[int, int]] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Tiled flash-attention backward: returns (dq, dk, dv).
+
+    ``window``: sliding-window width (requires ``causal=True``); pairs
+    outside the band are pruned (at trace time with static positions).
 
     ``static_positions``: compile-time (q_pos0, kv_pos0) — lets the fused
     kernel prune causal work at trace time.  Mutually exclusive with the
@@ -558,6 +628,11 @@ def flash_attention_bwd(
     before returning ``[B, H_kv, L_kv, d]`` grads."""
     if positions is not None and static_positions is not None:
         raise ValueError("pass positions OR static_positions, not both")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window >= k.shape[2]:
+            window = None          # band covers every key: plain causal
     b, h, lq, d = q.shape
     h_kv = k.shape[1]
     lkv = k.shape[2]
@@ -621,6 +696,7 @@ def flash_attention_bwd(
             seq_len_q=lq, seq_len_kv=lkv, causal=causal,
             q_dtype=q.dtype, k_dtype=dkv_dtype, v_dtype=dkv_dtype,
             static_positions=static_positions,
+            window=window,
         )
         dq, dk, dv = pl.pallas_call(
             fused_kernel,
@@ -664,6 +740,7 @@ def flash_attention_bwd(
             _dkv_onepass_kernel,
             scale=scale, q_strip=min(256, max(lq, 8)), block_kv=block_kv,
             seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=dkv_dtype,
+            window=window,
         )
         dk, dv = pl.pallas_call(
             dkv_kernel,
@@ -702,6 +779,7 @@ def flash_attention_bwd(
             _dq_onepass_kernel,
             scale=scale, kv_strip=min(512, max(lkv, 8)), block_q=block_q,
             seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=q.dtype,
+            window=window,
         )
         dq = pl.pallas_call(
             dq_kernel,
@@ -744,21 +822,35 @@ def flash_attention_bwd(
     if causal and static_positions is not None:
         sp_q0, sp_kv0 = static_positions
 
-        def dkv_q_index(bh, ki, qi):
-            # first q block visible from kv tile ki:
-            # ceil((ki*BK + kv0 - q0 - BQ + 1) / BQ) simplifies to this
+
+        def _dkv_qi_eff(ki, qi):
             qmin = (ki * block_kv + sp_kv0 - sp_q0) // block_q
-            return (bh, jnp.maximum(qi, jnp.clip(qmin, 0, n_q - 1)), 0)
+            qi_eff = jnp.maximum(qi, jnp.clip(qmin, 0, n_q - 1))
+            if window is not None:
+                # last q block inside the band for kv tile ki
+                qmax = (ki * block_kv + block_kv - 1 + sp_kv0 - sp_q0
+                        + window - 1) // block_q
+                qi_eff = jnp.minimum(qi_eff, jnp.clip(qmax, 0, n_q - 1))
+            return qi_eff
+
+        def dkv_q_index(bh, ki, qi):
+            # first (and, with a window, last) q block visible from kv
+            # tile ki: ceil((ki*BK + kv0 - q0 - BQ + 1) / BQ) simplifies
+            return (bh, _dkv_qi_eff(ki, qi), 0)
 
         def dkv_stats_index(bh, ki, qi):
-            qmin = (ki * block_kv + sp_kv0 - sp_q0) // block_q
-            return (bh, 0, jnp.maximum(qi, jnp.clip(qmin, 0, n_q - 1)))
+            return (bh, 0, _dkv_qi_eff(ki, qi))
 
         def dq_kv_index(bh, qi, ki):
-            # last kv tile visible from q block qi
+            # last (and, with a window, first) kv tile visible from q
+            # block qi
             kmax = (qi * block_q + block_q - 1 + sp_q0 - sp_kv0) // block_kv
-            return (bh // kv_group,
-                    jnp.minimum(ki, jnp.clip(kmax, 0, n_kv - 1)), 0)
+            ki_eff = jnp.minimum(ki, jnp.clip(kmax, 0, n_kv - 1))
+            if window is not None:
+                kmin = (qi * block_q + sp_q0 - sp_kv0
+                        - window + 1) // block_kv
+                ki_eff = jnp.maximum(ki_eff, jnp.clip(kmin, 0, n_kv - 1))
+            return (bh // kv_group, ki_eff, 0)
     else:
         def dkv_q_index(bh, ki, qi):
             return (bh, qi, 0)
@@ -774,6 +866,7 @@ def flash_attention_bwd(
         _dkv_kernel,
         scale=scale, block_q=block_q, block_kv=block_kv,
         seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=dkv_dtype,
+        window=window,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -813,6 +906,7 @@ def flash_attention_bwd(
         _dq_kernel,
         scale=scale, block_q=block_q, block_kv=block_kv,
         seq_len_q=lq, seq_len_kv=lkv, causal=causal, out_dtype=q.dtype,
+        window=window,
     )
     dq = pl.pallas_call(
         dq_kernel,

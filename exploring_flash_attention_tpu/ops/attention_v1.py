@@ -555,9 +555,8 @@ def _window_lo(qi, block_q: int, diag_off: int, window: int,
 
 
 def _v1_onepass_window_kernel(
-    q_ref, k_ref, v_ref,        # VMEM: (1, BQ, d), (1, SPAN, d) x2
-    o_ref,                      # VMEM: (1, BQ, d)
-    *,
+    *refs,                      # q (1,BQ,d), k/v (1,SPAN,d), o (1,BQ,d)
+                                # [, lse (1,8,BQ) when with_lse]
     scale: float,
     q_chunk: int,
     block_q: int,
@@ -565,6 +564,7 @@ def _v1_onepass_window_kernel(
     window: int,
     seq_len_kv: int,
     span: int,
+    with_lse: bool = False,
 ):
     """Sliding-window one-pass softmax over a dynamically-placed KV slice.
 
@@ -577,7 +577,12 @@ def _v1_onepass_window_kernel(
     L: the banded generalization of _v1_onepass_causal_kernel.
 
     Extends the reference's non-causal surface (windows are a framework
-    extension; SURVEY §2 lists no masking of any kind)."""
+    extension; SURVEY §2 lists no masking of any kind).  ``with_lse``
+    also emits the natural-log row LSE (the training-forward residual)."""
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     qi = pl.program_id(1)
     lo = _window_lo(qi, block_q, diag_off, window, seq_len_kv, span)
     c = scale * LOG2E
@@ -607,6 +612,13 @@ def _v1_onepass_window_kernel(
         l_raw = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
         denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
         o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+        if with_lse:
+            lse = jnp.where(
+                l_raw[:, 0] == 0.0, NEG_INF,
+                m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
+            )
+            lse_ref[0, :, q0:q0 + rows] = jnp.broadcast_to(
+                lse[None, :], (8, rows))
 
 
 def _flash_attention_v1_onepass_window(
@@ -617,6 +629,7 @@ def _flash_attention_v1_onepass_window(
     interpret: bool,
     q_chunk: Optional[int] = None,
     kv_group: int = 1,
+    with_lse: bool = False,
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
@@ -624,13 +637,12 @@ def _flash_attention_v1_onepass_window(
     # largest q block whose live strip buffers fit the scoped-VMEM budget
     block_q = 256
     for cand in (1024, 512):
-        span_c = _window_span(cand, window)
-        if (lq % cand == 0 and span_c <= lkv
-                and cand * span_c * 4 <= ONEPASS_STRIP_BYTES):
+        span_c = min(_window_span(cand, window), lkv)
+        if lq % cand == 0 and cand * span_c * 4 <= ONEPASS_STRIP_BYTES:
             block_q = cand
             break
     block_q = min(block_q, max(lq, 8))
-    span = _window_span(block_q, window)
+    span = min(_window_span(block_q, window), lkv)
     n_q = cdiv(lq, block_q)
     kernel = functools.partial(
         _v1_onepass_window_kernel,
@@ -641,12 +653,20 @@ def _flash_attention_v1_onepass_window(
         window=window,
         seq_len_kv=lkv,
         span=span,
+        with_lse=with_lse,
     )
 
     def kv_index(bh, qi):
         return (bh // kv_group,
                 _window_lo(qi, block_q, diag_off, window, lkv, span), 0)
 
+    out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype)
+    if with_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_bh, 8, lq), jnp.float32)]
     flops = 4 * n_bh * lq * min(window + block_q, lkv) * d
     out = pl.pallas_call(
         kernel,
@@ -658,8 +678,8 @@ def _flash_attention_v1_onepass_window(
             pl.BlockSpec((pl.Element(1), pl.Element(span), pl.Element(d)),
                          kv_index),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -672,7 +692,39 @@ def _flash_attention_v1_onepass_window(
         ),
         interpret=interpret,
     )(qf, kf, vf)
+    if with_lse:
+        return out[0], out[1][:, 0, :]
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "window", "q_chunk", "interpret"),
+)
+def flash_attention_v1_window_partial(
+    q: jax.Array,               # [B, H, Lq, d]
+    k: jax.Array,               # [B, H_kv, Lkv, d]
+    v: jax.Array,
+    window: int,
+    scale: Optional[float] = None,
+    q_chunk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Sliding-window partial forward over the full KV (decode-convention
+    positions): returns (o [B,H,Lq,d] f32 normalized, lse [B,H,Lq] f32
+    natural log) — the residual pair the windowed backward needs."""
+    b, h, lq, d = q.shape
+    h_kv, lkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    o, lse = _flash_attention_v1_onepass_window(
+        q.reshape(b * h, lq, d),
+        k.reshape(b * h_kv, lkv, d),
+        v.reshape(b * h_kv, lkv, d),
+        scale, window, jnp.float32, _resolve_interpret(interpret),
+        q_chunk=q_chunk, kv_group=h // h_kv, with_lse=True,
+    )
+    return o.reshape(b, h, lq, d), lse.reshape(b, h, lq)
 
 
 def window_onepass_eligible(lq: int, lkv: int, d: int,
@@ -685,8 +737,8 @@ def window_onepass_eligible(lq: int, lkv: int, d: int,
     if not (d > PVT_MAX_D and lq % 8 == 0 and lkv % STATS_LANES == 0
             and 0 < window < lkv):
         return False
-    span = _window_span(256, window)
-    return span <= lkv and 256 * span * 4 <= ONEPASS_STRIP_BYTES \
+    span = min(_window_span(256, window), lkv)   # whole-KV cap: lo == 0
+    return 256 * span * 4 <= ONEPASS_STRIP_BYTES \
         and span * d <= 2 * ONEPASS_MAX_KV_ELEMS
 
 

@@ -40,8 +40,13 @@ def flash_attention(
     causal: bool = False,
     interpret: Optional[bool] = None,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Differentiable fused attention (Pallas forward, recompute backward).
+
+    ``window``: sliding-window width (causal only, static positions only) —
+    both the forward band kernel and the banded backward prune work outside
+    the window, so trainable local attention costs O(L*window).
 
     ``positions=(q_pos0, kv_pos0)``: global positions of row 0 of the q /
     kv shards for causal masking; defaults to the decode convention (q rows
@@ -50,32 +55,43 @@ def flash_attention(
     work statically; traced positions (sequence-parallel shards) take the
     dynamic-masking path."""
     lq, lkv = q.shape[2], k.shape[2]
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window >= lkv:
+            window = None          # band covers every key: plain causal
     if positions is None:
         positions = (lkv - lq, 0)
     if all(isinstance(p, (int, np.integer)) for p in positions):
         return _flash_attention_static(
             q, k, v, config, scale, causal, interpret,
-            (int(positions[0]), int(positions[1])),
+            (int(positions[0]), int(positions[1])), window,
         )
-    q_pos0, kv_pos0 = (jnp.asarray(p, jnp.int32) for p in positions)
+    if window is not None:
+        raise NotImplementedError(
+            "window with traced shard positions is not supported; shard "
+            "windows at the caller or use static positions")
     return _flash_attention(
-        q, k, v, q_pos0, kv_pos0, config, scale, causal, interpret
+        q, k, v, q_pos0 := jnp.asarray(positions[0], jnp.int32),
+        kv_pos0 := jnp.asarray(positions[1], jnp.int32),
+        config, scale, causal, interpret
     )
 
 
 # ---- static-positions variant (positions are compile-time constants) ----
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention_static(
-    q, k, v, config, scale, causal, interpret, static_positions
+    q, k, v, config, scale, causal, interpret, static_positions, window
 ):
     out, _ = _fwd_static(
-        q, k, v, config, scale, causal, interpret, static_positions
+        q, k, v, config, scale, causal, interpret, static_positions, window
     )
     return out
 
 
-def _fwd_static(q, k, v, config, scale, causal, interpret, static_positions):
+def _fwd_static(q, k, v, config, scale, causal, interpret, static_positions,
+                window):
     # local import: parallel.partials itself imports from ops (avoid cycle)
     from exploring_flash_attention_tpu.parallel.partials import (
         attention_partial_local,
@@ -85,12 +101,14 @@ def _fwd_static(q, k, v, config, scale, causal, interpret, static_positions):
         q, k, v, config=config, scale=scale, causal=causal,
         interpret=interpret,
         static_positions=static_positions if causal else None,
+        window=window,
     )
     out = o.astype(q.dtype)
     return out, (q, k, v, out, lse)
 
 
-def _bwd_static(config, scale, causal, interpret, static_positions, res, g):
+def _bwd_static(config, scale, causal, interpret, static_positions, window,
+                res, g):
     from exploring_flash_attention_tpu.ops.attention_bwd import (
         flash_attention_bwd,
     )
@@ -100,6 +118,7 @@ def _bwd_static(config, scale, causal, interpret, static_positions, res, g):
         q, k, v, out, g, lse,
         config=config, scale=scale, causal=causal, interpret=interpret,
         static_positions=tuple(int(p) for p in static_positions),
+        window=window,
     )
     return dq, dk, dv
 

@@ -34,6 +34,7 @@ def attention_partial_local(
     causal: bool = False,
     positions: Optional[Tuple[jax.Array, jax.Array]] = None,
     static_positions: Optional[Tuple[int, int]] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized partial attention over a local KV shard.
 
@@ -42,6 +43,9 @@ def attention_partial_local(
     offsets known at trace time go in ``static_positions`` instead (enables
     trace-time causal FLOP skipping)."""
     lkv = k.shape[2]
+    if window is not None and (not causal or positions is not None):
+        raise NotImplementedError(
+            "window requires causal=True with static positions")
     # Causal with static offsets over a VMEM-resident KV: the causal
     # one-pass kernel truncates QK^T, softmax AND PV per strip (the
     # split-KV partial below only skips QK^T chunks) — measured ~2x at
@@ -51,9 +55,30 @@ def attention_partial_local(
         from exploring_flash_attention_tpu.ops.attention_v1 import (
             causal_partial_onepass_eligible,
             flash_attention_v1_causal_partial,
+            flash_attention_v1_window_partial,
+            window_onepass_eligible,
         )
 
         lq = q.shape[2]
+        if window is not None:
+            # banded training forward: the windowed one-pass kernel is the
+            # only LSE-emitting band implementation (decode convention)
+            sp = static_positions or (lkv - lq, 0)
+            if window >= lkv:
+                window = None      # full band: fall through to causal
+            elif not (sp == (lkv - lq, 0)
+                      and window_onepass_eligible(lq, lkv, q.shape[3],
+                                                  window)):
+                raise NotImplementedError(
+                    "windowed partial attention needs decode-convention "
+                    "positions, lane-aligned L_kv and a VMEM-resident "
+                    f"band; got Lq={lq}, Lkv={lkv}, window={window}, "
+                    f"positions={sp}")
+            else:
+                return flash_attention_v1_window_partial(
+                    q, k, v, window, scale=scale,
+                    q_chunk=config.q_chunk, interpret=interpret,
+                )
         if causal_partial_onepass_eligible(lq, lkv, q.shape[3]):
             sp = static_positions or (lkv - lq, 0)
             return flash_attention_v1_causal_partial(

@@ -180,3 +180,67 @@ def test_bwd_gqa_matches_repeated_kv(causal):
             np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-4,
             err_msg=name,
         )
+
+
+def _ref_window_grads(q, k, v, g, window):
+    def loss(q, k, v):
+        lq, lkv = q.shape[2], k.shape[2]
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / jnp.sqrt(jnp.float32(q.shape[-1]))
+        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lkv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (lq, lkv), 1)
+        r = row + (lkv - lq)
+        mask = jnp.logical_and(col <= r, col >= r - window + 1)
+        s = jnp.where(mask, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(out * g)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("window,lq,lkv", [(64, 256, 256), (100, 256, 256),
+                                           (64, 128, 256)])
+def test_bwd_window_matches_autodiff(window, lq, lkv):
+    # banded backward (fused path) vs autodiff through the banded oracle
+    q, k, v = make_qkv(1, 2, lq, 64, dtype=np.float32, seed=21,
+                       seq_len_kv=lkv)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(q.shape),
+                    jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, window=window) * g)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    want = _ref_window_grads(qj, kj, vj, g, window)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_bwd_window_tiled_fallback():
+    # L beyond the fused/one-pass VMEM budgets exercises the tiled dKV/dQ
+    # kernels' band pruning and fetch clamps
+    q, k, v = make_qkv(1, 1, 4096, 64, dtype=np.float32, seed=22)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    g = jnp.asarray(np.random.default_rng(4).standard_normal(q.shape),
+                    jnp.float32)
+    cfg = TileConfig(block_q=512, block_kv=512)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, window=512,
+                            config=cfg) * g)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    want = _ref_window_grads(qj, kj, vj, g, 512)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")

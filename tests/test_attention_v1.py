@@ -112,8 +112,10 @@ def test_v1_scale_override(one_pass):
 
 
 def test_v1_one_pass_forced_requires_eligibility():
-    # sliding-window attention has no one-pass kernel
-    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seed=9)
+    # windowed one-pass needs a lane-aligned L_kv (the sliding slice's
+    # upper clamp rounds to whole lane groups); ragged KV must stream
+    q, k, v = make_qkv(1, 1, 128, 64, dtype=np.float32, seq_len_kv=136,
+                       seed=9)
     with pytest.raises(ValueError, match="one_pass"):
         run_v1(q, k, v, causal=True, window=16,
                config=TileConfig(one_pass=True))

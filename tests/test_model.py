@@ -127,3 +127,26 @@ def test_rope_relative_invariance():
     s1 = jnp.einsum(
         "bhqd,bhkd->bhqk", rope(q, pos + 100, 1e4), rope(k, pos + 100, 1e4))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-4)
+
+
+def test_windowed_model_trains():
+    # sliding-window local attention end to end: banded fwd + banded bwd
+    import numpy as np
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        ModelConfig, init_params, make_train_step,
+    )
+
+    cfg = ModelConfig(vocab_size=512, n_layers=2, n_heads=4, n_kv_heads=2,
+                      d_model=256, d_head=64, d_ff=512, dtype=jnp.float32,
+                      tile=TileConfig(block_q=128, block_kv=128), window=96)
+    params = init_params(cfg, seed=0)
+    step, opt = make_train_step(cfg)
+    st = opt.init(params)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, 512, (2, 257)), jnp.int32)
+    params, st, l0 = step(params, st, toks)
+    for _ in range(3):
+        params, st, loss = step(params, st, toks)
+    assert float(loss) < float(l0)
