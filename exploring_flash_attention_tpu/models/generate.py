@@ -74,7 +74,8 @@ def forward_collect_kv(
         kvs.append((k, v))                           # [B, Hkv, L, d]
         # GQA handled natively by the kernel (shared KV block per group)
         o = flash_attention(
-            q, k, v, config=c.tile, causal=True, interpret=interpret
+            q, k, v, config=c.tile, causal=True, interpret=interpret,
+            window=c.window,
         )
         x = x + jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
         x = x + _mlp_block(p, x, c, None)
@@ -109,7 +110,7 @@ def _decode_forward(
             k = rope(k, pos[:, None], c.rope_theta)
         cache = append_tokens(cache, slots, k, v)
         o = paged_decode_attention(
-            q, cache, slots, interpret=interpret
+            q, cache, slots, interpret=interpret, window=c.window,
         )                                                 # [B, Hq, d]
         x = x + jnp.einsum(
             "bhd,hde->be", o.astype(x.dtype), p["wo"]

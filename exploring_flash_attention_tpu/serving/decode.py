@@ -76,6 +76,7 @@ def _decode_kernel(
     # scratch
     fpage,                       # SMEM (B * max_pages) work list: page id
     fmeta,                       # SMEM (B * max_pages) seq | last | ntok
+    fskip,                       # SMEM (B * max_pages) first visible token
     kv_buf,                      # VMEM (N_BUF, 2, Hkv, ps, d) int8
     sc_buf,                      # VMEM (N_BUF, 2, Hkv, 1, ps) f32
     sems,                        # DMA (2, N_BUF)
@@ -88,6 +89,7 @@ def _decode_kernel(
     group: int,
     head_dim: int,
     compute_dtype,
+    window: Optional[int] = None,
 ):
     ps = page_size
     # zero-length sequences produce no work-list entries; pre-zero the
@@ -100,15 +102,23 @@ def _decode_kernel(
         slot = slots_ref[s]
         sl = sl_ref[slot]
         np_s = jax.lax.div(sl + ps - 1, ps)
+        # sliding window: the new token (position sl-1) attends to the
+        # last `window` positions only — pages wholly before the band are
+        # never listed (decode cost O(window), not O(ctx)), and the first
+        # in-band page records where the band starts inside it
+        first_vis = jnp.maximum(sl - window, 0) if window is not None \
+            else jnp.int32(0)
+        j0 = jax.lax.div(first_vis, ps)
 
         def fill_page(j, cnt):
             ntok = jnp.minimum(sl - j * ps, ps)
             last = jnp.where(j == np_s - 1, 1, 0)
             fpage[cnt] = pt_ref[slot * max_pages + j]
             fmeta[cnt] = (s << 16) | (last << 15) | ntok
+            fskip[cnt] = jnp.maximum(first_vis - j * ps, 0)
             return cnt + 1
 
-        return jax.lax.fori_loop(0, np_s, fill_page, cnt)
+        return jax.lax.fori_loop(j0, np_s, fill_page, cnt)
 
     n_total = jax.lax.fori_loop(0, batch, fill_seq, jnp.int32(0))
 
@@ -173,7 +183,10 @@ def _decode_kernel(
                 if group > 1 else v_scale)
         s = s * scale * ks_b
         col = jax.lax.broadcasted_iota(jnp.int32, (hg, page_size), 1)
-        s = jnp.where(col < n_tok, s, NEG_INF)
+        vis = col < n_tok
+        if window is not None:
+            vis = jnp.logical_and(vis, col >= fskip[i])
+        s = jnp.where(vis, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(m - m_new))
@@ -212,15 +225,19 @@ def _decode_kernel(
     jax.lax.fori_loop(0, n_total, page_step, (m0, l0, acc0))
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_decode_attention(
     q: jax.Array,                # [B, Hq, d] one token per sequence
     cache: PagedKVCache,
     seq_slots: jax.Array,        # int32 [B] cache slot per batch row
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
-    """Batched single-token decode over the paged INT8 cache."""
+    """Batched single-token decode over the paged INT8 cache.
+
+    ``window``: sliding-window width — each new token attends only to the
+    last ``window`` cache positions; out-of-band pages are never read."""
     b, hq, d = q.shape
     hkv = cache.num_kv_heads
     if hq % hkv:
@@ -245,6 +262,7 @@ def paged_decode_attention(
         group=group,
         head_dim=d,
         compute_dtype=q.dtype,
+        window=window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -258,6 +276,7 @@ def paged_decode_attention(
             (b, hkv, group, d), lambda i, *refs: (0, 0, 0, 0)
         ),
         scratch_shapes=[
+            pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.VMEM((N_BUF, 2, hkv, ps, d), cache.kv_pages.dtype),

@@ -165,3 +165,39 @@ def test_scheduler_output_matches_unbatched_oracle():
     )[:, 0]
     # int8 cache quantization noise bounds the error here
     assert error_stats(out, ref)["max_abs"] < 0.05
+
+
+def test_windowed_decode_matches_banded_oracle():
+    # windowed decode lists only the band's pages; verify against naive
+    # attention over the dequantized cache restricted to the band
+    rng = np.random.default_rng(11)
+    d, ps, w = 64, 128, 300
+    b = 3
+    lens = [450, 100, 800]
+    hkv, hq = 2, 4
+    cache = make_cache(hkv, d, n_pages=24, page_size=ps, max_seqs=4)
+    pt = cache.page_table
+    pt = pt.at[0, :4].set(jnp.asarray([0, 1, 2, 3]))
+    pt = pt.at[1, :1].set(jnp.asarray([4]))
+    pt = pt.at[2, :7].set(jnp.asarray([5, 6, 7, 8, 9, 10, 11]))
+    cache = dataclasses.replace(cache, page_table=pt)
+    for s, l in enumerate(lens):
+        k_p, v_p = _mk_prompt(rng, l, hkv, d)
+        cache = append_prompt(cache, s, k_p, v_p)
+
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), dtype=jnp.float32)
+    slots = jnp.asarray([0, 1, 2], jnp.int32)
+    out = np.asarray(paged_decode_attention(q, cache, slots, window=w))
+    full = np.asarray(paged_decode_attention(q, cache, slots))
+
+    group = hq // hkv
+    for s, l in enumerate(lens):
+        k_full, v_full = gather_kv(cache, s)       # dequantized [Hkv, L, d]
+        lo = max(0, l - w)
+        q_g = np.asarray(q[s]).reshape(hkv, group, d)
+        ref = naive_attention(q_g, np.asarray(k_full)[:, lo:],
+                              np.asarray(v_full)[:, lo:])
+        got = out[s].reshape(hkv, group, d)
+        assert error_stats(got, ref)["max_abs"] < 1e-4, s
+        if l > w:   # the band must actually differ from full attention
+            assert np.abs(out[s] - full[s]).max() > 1e-4
