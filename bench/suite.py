@@ -328,6 +328,15 @@ def bench_decode_tokens():
     emit("decode_tokens_per_sec", bsz / sec, "tokens/s", None,
          f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages")
 
+    # sliding-window decode: out-of-band pages are never listed, so the
+    # step cost scales with the window (512 of 2048 cached tokens here)
+    def step_w(x):
+        return paged_decode_attention(x, cache, slots, window=512)
+
+    sec_w = time_fn_chained(step_w, q0, n_long=128, n_short=16)
+    emit("decode_window512_tokens_per_sec", bsz / sec_w, "tokens/s", None,
+         f"{sec_w*1e6:.1f} us/step, B={bsz}, ctx={ctx}, w=512 int8 pages")
+
 
 def bench_generate_e2e():
     """Whole-model generation throughput: ~65M-param flagship transformer
