@@ -338,6 +338,51 @@ def bench_decode_tokens():
          f"{sec_w*1e6:.1f} us/step, B={bsz}, ctx={ctx}, w=512 int8 pages")
 
 
+def bench_extend_prefill():
+    """Chunked-prefill (extend) attention over the paged INT8 cache:
+    C=256 new tokens per sequence attending over 2048 cached tokens,
+    B=8 — the multi-turn / prefix-cache serving path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_extend_attention,
+    )
+    from exploring_flash_attention_tpu.serving.kv_cache import (
+        PageAllocator, append_prompt, make_cache,
+    )
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        time_fn_chained,
+    )
+
+    bsz, hq, hkv, d = 8, 8, 8, 128
+    hist, chunk, page_size = 1792, 256, 256
+    ctx = hist + chunk
+    pps = ctx // page_size
+    cache = make_cache(hkv, d, n_pages=bsz * pps, page_size=page_size,
+                       max_seqs=bsz, max_pages_per_seq=pps)
+    alloc = PageAllocator(bsz * pps)
+    rng = np.random.default_rng(0)
+    for s in range(bsz):
+        pages = alloc.alloc(pps)
+        pt = cache.page_table.at[s, :pps].set(jnp.asarray(pages, jnp.int32))
+        cache = dataclasses.replace(cache, page_table=pt)
+        kp = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+        cache = append_prompt(cache, s, kp, vp)
+    slots = jnp.arange(bsz, dtype=jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((bsz, chunk, hq, d)), jnp.bfloat16)
+
+    def step(x):
+        return paged_extend_attention(x, cache, slots)
+
+    sec = time_fn_chained(step, q0, n_long=24, n_short=4)
+    # causal extend FLOPs: row i sees hist + i + 1 keys
+    flops = 4 * bsz * hq * chunk * (hist + chunk / 2) * d
+    emit("extend_prefill_tflops", flops / sec / 1e12, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms, B={bsz} C={chunk} over ctx={ctx} int8 pages "
+         f"({bsz * chunk / sec:.0f} tok/s)")
+
+
 def bench_generate_e2e():
     """Whole-model generation throughput: ~65M-param flagship transformer
     (4 layers, d_model 1024, GQA 8/4, d_head 128), B=8 sequences, 256-token
@@ -598,6 +643,7 @@ ALL = {
     "kvquant_int8": bench_kvquant_int8,
     "int8_qkv": bench_int8_qkv,
     "decode_tokens": bench_decode_tokens,
+    "extend_prefill": bench_extend_prefill,
     "generate_e2e": bench_generate_e2e,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "train_model_tokens": bench_train_model_tokens,

@@ -5,7 +5,10 @@ from exploring_flash_attention_tpu.serving.kv_cache import (
     gather_kv,
     make_cache,
 )
-from exploring_flash_attention_tpu.serving.decode import paged_decode_attention
+from exploring_flash_attention_tpu.serving.decode import (
+    paged_decode_attention,
+    paged_extend_attention,
+)
 from exploring_flash_attention_tpu.serving.scheduler import (
     ContinuousBatchingScheduler,
     Request,
@@ -18,6 +21,7 @@ __all__ = [
     "append_tokens",
     "gather_kv",
     "paged_decode_attention",
+    "paged_extend_attention",
     "ContinuousBatchingScheduler",
     "Request",
 ]

@@ -225,6 +225,219 @@ def _decode_kernel(
     jax.lax.fori_loop(0, n_total, page_step, (m0, l0, acc0))
 
 
+def _extend_kernel(
+    # scalar prefetch
+    pt_ref,                      # int32 [max_seqs * max_pages] page table
+    sl_ref,                      # int32 [max_seqs] sequence lengths
+    slots_ref,                   # int32 [B] cache slot per batch row
+    # tensor inputs
+    q_ref,                       # VMEM (1, Hkv, G*C, d) — this seq's chunk
+    kvp_ref,                     # ANY [n_pages, 2, Hkv, ps, d] int8
+    kvs_ref,                     # ANY [n_pages, 2, Hkv, 1, ps] f32
+    # output
+    o_ref,                       # VMEM (1, Hkv, G*C, d)
+    # scratch
+    kv_buf,                      # VMEM (N_BUF, 2, Hkv, ps, d) int8
+    sc_buf,                      # VMEM (N_BUF, 2, Hkv, 1, ps) f32
+    sems,                        # DMA (2, N_BUF)
+    *,
+    scale: float,
+    page_size: int,
+    max_pages: int,
+    n_new: int,                  # C — chunk rows per sequence
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    compute_dtype,
+    window: Optional[int] = None,
+):
+    """Chunked-prefill ("extend") attention over the paged INT8 cache.
+
+    One program per sequence: C new tokens (already appended to the cache,
+    so they read themselves quantized — decode-consistent numerics) attend
+    causally over the whole paged history.  The page stream reuses the
+    decode kernel's N_BUF-deep manual-DMA prefetch; unlike decode this is
+    compute-bound (C x ctx FLOPs), so per-sequence programs pipeline the
+    first-page latency across the grid instead of the flat work list.
+
+    The banded generalization of the reference's split-KV forward to the
+    serving cache (flash_attention_v2/CUDA/flash_attention_v2.h grid over
+    KV blocks), plus causal masking on the chunk's own pages."""
+    ps = page_size
+    s_id = pl.program_id(0)
+    slot = slots_ref[s_id]
+    sl = sl_ref[slot]                       # includes the appended chunk
+    np_s = jax.lax.div(sl + ps - 1, ps)
+    q_start = sl - n_new                    # global pos of chunk row 0
+    first_vis = (jnp.maximum(q_start - window + 1, 0)
+                 if window is not None else jnp.int32(0))
+    j0 = jax.lax.div(first_vis, ps)
+
+    def dma(buf, j):
+        page_id = pt_ref[slot * max_pages + j]
+        return [
+            pltpu.make_async_copy(
+                kvp_ref.at[page_id], kv_buf.at[buf], sems.at[0, buf]
+            ),
+            pltpu.make_async_copy(
+                kvs_ref.at[page_id], sc_buf.at[buf], sems.at[1, buf]
+            ),
+        ]
+
+    for w in range(N_BUF):
+        @pl.when(j0 + w < np_s)
+        def _start(w=w):
+            for d_ in dma(w, j0 + w):
+                d_.start()
+
+    hg = num_kv_heads * group
+    rows = hg * n_new
+    # q rows are laid out [Hkv, C*G]: row r of head kh covers chunk
+    # position r // G — its global position is q_start + r // G
+    row_pos = (jax.lax.broadcasted_iota(jnp.int32, (n_new * group, ps), 0)
+               // group) + q_start
+
+    def page_step(j, carry):
+        m, l, acc = carry           # (rows, 1) x2, (rows, d)
+        buf = jax.lax.rem(j - j0, N_BUF)
+        for d_ in dma(buf, j):
+            d_.wait()
+
+        n_tok = jnp.minimum(sl - j * ps, ps)
+        k_scale = sc_buf[buf, 0][:, 0, :]              # (Hkv, ps)
+        v_scale = sc_buf[buf, 1][:, 0, :]
+        s_heads = [
+            jax.lax.dot_general(
+                q_ref[0, kh], kv_buf[buf, 0, kh].astype(compute_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for kh in range(num_kv_heads)
+        ]                                              # each (C*G, ps)
+        v_heads = [kv_buf[buf, 1, kh].astype(compute_dtype)
+                   for kh in range(num_kv_heads)]
+
+        @pl.when(j + N_BUF < np_s)
+        def _prefetch():
+            for d_ in dma(buf, j + N_BUF):
+                d_.start()
+
+        col = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_new * group, ps), 1) + j * ps)
+        vis = jnp.logical_and(col <= row_pos, col - j * ps < n_tok)
+        if window is not None:
+            vis = jnp.logical_and(vis, col >= row_pos - window + 1)
+
+        outs_m, outs_l, outs_acc = [], [], []
+        for kh in range(num_kv_heads):
+            sk = s_heads[kh] * scale * k_scale[kh][None, :]
+            sk = jnp.where(vis, sk, NEG_INF)
+            r0 = kh * n_new * group
+            m_h = m[r0:r0 + n_new * group]
+            l_h = l[r0:r0 + n_new * group]
+            a_h = acc[r0:r0 + n_new * group]
+            m_new = jnp.maximum(m_h, jnp.max(sk, axis=1, keepdims=True))
+            alpha = jnp.where(jnp.isneginf(m_new), 0.0,
+                              jnp.exp(m_h - m_new))
+            p = jnp.exp(sk - m_new)
+            p = jnp.where(jnp.isneginf(sk), 0.0, p)
+            l_h = l_h * alpha + jnp.sum(p, axis=1, keepdims=True)
+            p = p * v_scale[kh][None, :]
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), v_heads[kh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs_m.append(m_new)
+            outs_l.append(l_h)
+            outs_acc.append(a_h * alpha + pv)
+        return (jnp.concatenate(outs_m, axis=0),
+                jnp.concatenate(outs_l, axis=0),
+                jnp.concatenate(outs_acc, axis=0))
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, head_dim), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(j0, np_s, page_step, (m0, l0, acc0))
+    denom = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / denom).reshape(
+        num_kv_heads, n_new * group, head_dim).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "window"))
+def paged_extend_attention(
+    q: jax.Array,                # [B, C, Hq, d] — C new tokens per sequence
+    cache: PagedKVCache,
+    seq_slots: jax.Array,        # int32 [B] cache slot per batch row
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Chunked-prefill attention: each sequence's C newest tokens (already
+    appended to the cache via ``append_prompt``) attend causally over that
+    sequence's full paged history.  Returns [B, C, Hq, d].
+
+    With ``window``, pages before every chunk row's band are never read."""
+    b, c, hq, d = q.shape
+    hkv = cache.num_kv_heads
+    if hq % hkv:
+        raise ValueError(f"q heads {hq} not divisible by kv heads {hkv}")
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    ps = cache.page_size
+    max_pages = cache.max_pages_per_seq
+
+    # [B, C, Hkv, G, d] -> [B, Hkv, C*G, d] (row r = chunk pos r//G)
+    qg = q.reshape(b, c, hkv, group, d).transpose(0, 2, 1, 3, 4).reshape(
+        b, hkv, c * group, d)
+
+    kernel = functools.partial(
+        _extend_kernel,
+        scale=scale,
+        page_size=ps,
+        max_pages=max_pages,
+        n_new=c,
+        num_kv_heads=hkv,
+        group=group,
+        head_dim=d,
+        compute_dtype=q.dtype,
+        window=window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, c * group, d),
+                         lambda i, *refs: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, c * group, d), lambda i, *refs: (i, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, 2, hkv, ps, d), cache.kv_pages.dtype),
+            pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, N_BUF)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, c * group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(cache.page_table.reshape(-1), cache.seq_lens, seq_slots,
+      qg, cache.kv_pages, cache.kv_scales)
+    # [B, Hkv, C*G, d] -> [B, C, Hq, d]
+    return out.reshape(b, hkv, c, group, d).transpose(0, 2, 1, 3, 4).reshape(
+        b, c, hq, d)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_decode_attention(
     q: jax.Array,                # [B, Hq, d] one token per sequence

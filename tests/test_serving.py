@@ -201,3 +201,37 @@ def test_windowed_decode_matches_banded_oracle():
         assert error_stats(got, ref)["max_abs"] < 1e-4, s
         if l > w:   # the band must actually differ from full attention
             assert np.abs(out[s] - full[s]).max() > 1e-4
+
+
+def test_paged_extend_matches_oracle():
+    # chunked prefill: C new tokens attend causally over paged history
+    rng = np.random.default_rng(9)
+    hkv, hq, d, ps = 2, 4, 64, 128
+    b, C = 2, 128
+    hist = [256, 384]
+    cache = make_cache(hkv, d, n_pages=16, page_size=ps, max_seqs=4)
+    pt = cache.page_table
+    pt = pt.at[0, :4].set(jnp.asarray([0, 1, 2, 3]))
+    pt = pt.at[1, :4].set(jnp.asarray([4, 5, 6, 7]))
+    cache = dataclasses.replace(cache, page_table=pt)
+    for s, n in enumerate(hist):
+        k_p, v_p = _mk_prompt(rng, n, hkv, d)
+        cache = append_prompt(cache, s, k_p, v_p)
+        k_c, v_c = _mk_prompt(rng, C, hkv, d)
+        cache = append_prompt(cache, s, k_c, v_c)   # the chunk itself
+    q = jnp.asarray(rng.standard_normal((b, C, hq, d)), jnp.float32)
+    slots = jnp.asarray([0, 1], jnp.int32)
+
+    from exploring_flash_attention_tpu.serving import paged_extend_attention
+    for w in (None, 200):
+        out = np.asarray(paged_extend_attention(q, cache, slots, window=w))
+        for s, n in enumerate(hist):
+            kf, vf = gather_kv(cache, s)
+            qg = np.asarray(q[s]).reshape(C, hkv, hq // hkv, d)
+            for i in (0, C - 1):
+                pos = n + i
+                lo = 0 if w is None else max(0, pos - w + 1)
+                ref = naive_attention(qg[i], np.asarray(kf)[:, lo:pos + 1],
+                                      np.asarray(vf)[:, lo:pos + 1])
+                got = out[s, i].reshape(hkv, hq // hkv, d)
+                assert error_stats(got, ref)["max_abs"] < 1e-4, (w, s, i)
