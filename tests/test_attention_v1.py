@@ -313,6 +313,11 @@ def test_v1_randomized_shapes():
         lkv = int(rng.integers(1, 40)) * 8
         d = int(rng.choice([32, 64, 128]))
         causal = bool(rng.choice([True, False])) and lkv >= lq
+        # sometimes a sliding window too (routes through the windowed
+        # one-pass kernel when eligible, streaming otherwise)
+        window = None
+        if causal and rng.random() < 0.4:
+            window = int(rng.integers(1, lkv + 16))
         bq = int(rng.choice([64, 128, 256]))
         bk = int(rng.choice([64, 128, 256]))
         one_pass = rng.choice([None, False])
@@ -322,11 +327,12 @@ def test_v1_randomized_shapes():
         cfg = TileConfig(block_q=bq, block_kv=bk, one_pass=one_pass)
         out = np.asarray(flash_attention_v1(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            config=cfg, causal=causal,
+            config=cfg, causal=causal, window=window,
         ))
         kr = np.repeat(k, group, axis=1)
         vr = np.repeat(v, group, axis=1)
-        ref = naive_attention(q, kr, vr, causal=causal)
+        ref = naive_attention(q, kr, vr, causal=causal,
+                              window=min(window, lkv) if window else None)
         stats = error_stats(out, ref)
         assert stats["max_abs"] < 2e-5, (
-            b, h, h_kv, lq, lkv, d, causal, bq, bk, one_pass, stats)
+            b, h, h_kv, lq, lkv, d, causal, window, bq, bk, one_pass, stats)
