@@ -41,10 +41,12 @@ from exploring_flash_attention_tpu.models.transformer import (
 from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
 from exploring_flash_attention_tpu.serving.decode import (
     paged_decode_attention,
+    paged_extend_attention,
 )
 from exploring_flash_attention_tpu.serving.kv_cache import (
     PagedKVCache,
     PageAllocator,
+    append_chunks,
     append_prompts,
     append_tokens,
     make_cache,
@@ -125,6 +127,52 @@ def _decode_forward(
     return logits, new_caches
 
 
+def _extend_forward(
+    params: Params,
+    tokens: jax.Array,             # [B, C] int32 — a new turn per sequence
+    caches: List[PagedKVCache],
+    slots: jax.Array,              # [B] int32
+    config: ModelConfig,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, List[PagedKVCache]]:
+    """Multi-turn continuation forward: C new tokens per sequence attend
+    over their existing paged history via the extend kernel (the chunked
+    prefill path — no full-prompt recompute).  Returns (logits [B, C, V],
+    updated caches)."""
+    c = config
+    x = params["embed"][tokens].astype(c.dtype)          # [B, C, E]
+    new_caches = []
+    for p, cache in zip(params["layers"], caches):
+        h = _rmsnorm(x, p["ln1"], c.norm_eps)
+        q = jnp.einsum("ble,ehd->bhld", h, p["wq"])      # [B, Hq, C, d]
+        k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
+        v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
+        if c.use_rope:
+            pos0 = cache.seq_lens[slots]                 # [B]
+            pos = (pos0[:, None] + jnp.arange(
+                tokens.shape[1], dtype=jnp.int32)[None, :])[:, None, :]
+            q = rope(q, pos, c.rope_theta)               # pos: [B, 1, C]
+            k = rope(k, pos, c.rope_theta)
+        # append first: the chunk reads itself quantized from the cache
+        # (decode-consistent numerics)
+        cache = append_chunks(
+            cache, slots, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )
+        o = paged_extend_attention(
+            q.transpose(0, 2, 1, 3), cache, slots, interpret=interpret,
+            window=c.window,
+        )                                                # [B, C, Hq, d]
+        x = x + jnp.einsum(
+            "blhd,hde->ble", o.astype(x.dtype), p["wo"])
+        x = x + _mlp_block(p, x, c, None)
+        new_caches.append(cache)
+    xf = _rmsnorm(x, params["ln_f"], c.norm_eps)
+    logits = jnp.einsum(
+        "ble,ve->blv", xf, params["embed"].astype(c.dtype)
+    ).astype(jnp.float32)
+    return logits, new_caches
+
+
 def sample(
     logits: jax.Array,             # [B, V]
     rng: jax.Array,
@@ -170,6 +218,7 @@ class GenerationEngine:
         self.pages_per_seq = pages_per_seq
         self._loop_cache = {}
         self._mapped_pages: List[int] = []
+        self._held_slots = None
 
     def _map_slots(self, bsz: int) -> jax.Array:
         # one page map shared by every layer's cache (layers use the same
@@ -201,11 +250,18 @@ class GenerationEngine:
         max_new_tokens: int,
         temperature: float = 0.0,
         seed: int = 0,
+        hold: bool = False,
     ) -> np.ndarray:
-        """Returns generated tokens [B, max_new_tokens] (int32)."""
+        """Returns generated tokens [B, max_new_tokens] (int32).
+
+        ``hold=True`` keeps the batch's cache slots mapped after the call
+        so :meth:`continue_generation` can extend the conversation without
+        re-running the prompt; call :meth:`release` when done."""
         bsz, l_prompt = prompt.shape
         if bsz > self.max_seqs:
             raise ValueError(f"batch {bsz} > max_seqs {self.max_seqs}")
+        if self._held_slots is not None:
+            raise RuntimeError("slots held — call release() first")
         try:
             # inside the try so a partial allocation (alloc raising midway
             # through the slot loop) still reaches _release_slots — the
@@ -219,9 +275,82 @@ class GenerationEngine:
                 self.params, prompt, tuple(self.caches), slots, rng
             )
             self.caches = list(caches)
-            return np.asarray(out)
-        finally:
+        except Exception:
             self._release_slots()               # engine stays reusable
+            raise
+        if hold:
+            self._held_slots = slots
+        else:
+            self._release_slots()
+        return np.asarray(out)
+
+    def continue_generation(
+        self,
+        new_tokens: jax.Array,      # [B, C] int32 — the next turn
+        max_new_tokens: int,
+        temperature: float = 0.0,
+        seed: int = 1,
+    ) -> np.ndarray:
+        """Multi-turn continuation over held slots: the new turn's tokens
+        attend to the existing cache via the paged extend kernel (no
+        full-history recompute), then decoding proceeds as usual.
+        Returns [B, max_new_tokens] (int32)."""
+        if self._held_slots is None:
+            raise RuntimeError("no held slots — generate(..., hold=True) first")
+        slots = self._held_slots
+        if new_tokens.shape[0] != int(slots.shape[0]):
+            raise ValueError("batch mismatch with the held slots")
+        rng = jax.random.PRNGKey(seed)
+        out, caches = self._continue_fn(
+            int(new_tokens.shape[1]), max_new_tokens, temperature)(
+            self.params, jnp.asarray(new_tokens, jnp.int32),
+            tuple(self.caches), slots, rng
+        )
+        self.caches = list(caches)
+        return np.asarray(out)
+
+    def release(self) -> None:
+        """Free the slots held by ``generate(..., hold=True)``."""
+        if self._held_slots is not None:
+            self._held_slots = None
+            self._release_slots()
+
+    def _continue_fn(self, chunk_len, max_new_tokens, temperature):
+        key = ("cont", chunk_len, max_new_tokens, temperature)
+        fn = self._loop_cache.get(key)
+        if fn is not None:
+            return fn
+        config, interpret = self.config, self.interpret
+
+        @jax.jit
+        def run(params, new_tokens, caches, slots, rng):
+            logits, caches = _extend_forward(
+                params, new_tokens, list(caches), slots, config,
+                interpret=interpret,
+            )
+            caches = tuple(caches)
+            rng, sub = jax.random.split(rng)
+            tok0 = sample(logits[:, -1, :], sub, temperature)
+
+            def body(carry, _):
+                tok, caches, rng = carry
+                logits, caches = _decode_forward(
+                    params, tok, list(caches), slots, config,
+                    interpret=interpret,
+                )
+                rng, sub = jax.random.split(rng)
+                tok = sample(logits, sub, temperature)
+                return (tok, tuple(caches), rng), tok
+
+            (_, caches, _), toks = jax.lax.scan(
+                body, (tok0, caches, rng), None,
+                length=max_new_tokens - 1,
+            )
+            out = jnp.concatenate([tok0[:, None], toks.T], axis=1)
+            return out, caches
+
+        self._loop_cache[key] = run
+        return run
 
     def _generate_fn(self, max_new_tokens: int, temperature: float):
         key = (max_new_tokens, temperature)

@@ -61,6 +61,11 @@ from exploring_flash_attention_tpu.serving.kv_cache import PagedKVCache
 
 N_BUF = 8          # prefetch window depth (pages in flight)
 
+# The paged kernels DMA whole (2, Hkv, ps, d) pages: on real hardware
+# Mosaic requires the page's last dim to be lane-aligned, so d must be a
+# multiple of 128 (d=64 etc. run under interpret only).  Page size must
+# be a 128 multiple for the same reason (kv_cache.make_cache enforces it).
+
 
 def _decode_kernel(
     # scalar prefetch

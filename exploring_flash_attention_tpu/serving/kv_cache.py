@@ -147,6 +147,40 @@ def append_tokens(
     )
 
 
+@jax.jit
+def append_chunks(
+    cache: PagedKVCache,
+    seq_ids: jax.Array,          # int32 [B] cache slots being written
+    k_new: jax.Array,            # [B, C, Hkv, d] new K rows per sequence
+    v_new: jax.Array,
+) -> PagedKVCache:
+    """Functionally append C tokens per sequence at each sequence's
+    current position (quantize + batched scatter) — append_tokens
+    vectorized over the chunk, with per-sequence ARBITRARY (traced,
+    non-page-aligned) start offsets.  The multi-turn / chunked-prefill
+    cache write."""
+    b, c, hkv, d = k_new.shape
+    ps = cache.page_size
+    pos = cache.seq_lens[seq_ids][:, None] + jnp.arange(c)[None, :]  # [B,C]
+    page_idx = pos // ps
+    offset = (pos % ps).reshape(-1)                                  # [B*C]
+    page_ids = cache.page_table[seq_ids[:, None], page_idx].reshape(-1)
+
+    kq, ks = _quantize_rows(k_new)                   # [B,C,H,d], [B,C,H]
+    vq, vs = _quantize_rows(v_new)
+    kv = jnp.stack([kq, vq], axis=2).reshape(b * c, 2, hkv, d)
+    sc = jnp.stack([ks, vs], axis=2).reshape(b * c, 2, hkv)
+
+    kv_pages = cache.kv_pages.at[page_ids, :, :, offset, :].set(
+        kv, mode="drop")
+    kv_scales = cache.kv_scales.at[page_ids, :, :, 0, offset].set(
+        sc, mode="drop")
+    seq_lens = cache.seq_lens.at[seq_ids].add(c, mode="drop")
+    return dataclasses.replace(
+        cache, kv_pages=kv_pages, kv_scales=kv_scales, seq_lens=seq_lens,
+    )
+
+
 def append_prompt(
     cache: PagedKVCache,
     seq_id: int,

@@ -99,3 +99,56 @@ def test_generate_batch_capacity_check():
     eng = GenerationEngine(params, CFG, max_seqs=1, max_len=32)
     with pytest.raises(ValueError, match="max_seqs"):
         eng.generate(jnp.zeros((2, 4), jnp.int32), 2)
+
+
+def test_multi_turn_continuation_cache_consistency():
+    # generate(hold=True) -> continue_generation: the new turn extends the
+    # paged cache via the extend kernel.  The decisive bookkeeping check:
+    # after continuation, every layer's cache must hold exactly the K/V a
+    # full forward produces over the CONCATENATED token stream (same RoPE
+    # positions, same page offsets), within int8 roundtrip error.
+    import numpy as np
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        GenerationEngine, ModelConfig, init_params,
+    )
+    from exploring_flash_attention_tpu.models.generate import (
+        forward_collect_kv,
+    )
+    from exploring_flash_attention_tpu.serving.kv_cache import gather_kv
+
+    cfg = ModelConfig(vocab_size=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                      d_model=128, d_head=64, d_ff=256, dtype=jnp.float32,
+                      tile=TileConfig(block_q=64, block_kv=64))
+    params = init_params(cfg, seed=0)
+    eng = GenerationEngine(params, cfg, max_seqs=2, max_len=256,
+                           page_size=128)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 64, (2, 12)), jnp.int32)
+
+    n1 = 3
+    g = eng.generate(prompt, n1, hold=True)
+    assert g.shape == (2, n1) and (g >= 0).all() and (g < 64).all()
+
+    # the last sampled token was never fed back into the cache — the new
+    # turn must start with it (chat semantics: generated text ++ user turn)
+    turn_new = jnp.asarray(rng.integers(0, 64, (2, 4)), jnp.int32)
+    turn = jnp.concatenate([jnp.asarray(g[:, -1:]), turn_new], axis=1)
+    n2 = 2
+    g2 = eng.continue_generation(turn, n2)
+    assert g2.shape == (2, n2) and (g2 >= 0).all() and (g2 < 64).all()
+
+    # cache now holds: prompt ++ g ++ turn_new ++ g2[:, :-1]
+    full = jnp.concatenate(
+        [prompt, jnp.asarray(g), turn_new, jnp.asarray(g2[:, :-1])], axis=1)
+    _, kvs = forward_collect_kv(params, full, cfg)
+    L = full.shape[1]
+    for li, (k_ref, _) in enumerate(kvs):          # [B, L, Hkv, d]
+        for s in range(2):
+            assert int(eng.caches[li].seq_lens[s]) == L, (li, s)
+            k_got, _ = gather_kv(eng.caches[li], s)   # [Hkv, L, d]
+            err = np.abs(np.asarray(k_got)
+                         - np.asarray(k_ref[s]).transpose(1, 0, 2)).max()
+            assert err < 0.06, (li, s, err)           # int8 roundtrip tier
+    eng.release()
