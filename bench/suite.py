@@ -488,6 +488,46 @@ def bench_train_model_tokens():
          f"{dt*1e3:.1f} ms/step, 65M params, B={bsz} L={seq}, loss {float(loss):.3f}")
 
 
+def bench_train_encoder_tokens():
+    """Encoder (masked-LM) training throughput on one chip: the decoder
+    stack run bidirectionally — the non-causal one-pass kernel inside a
+    real train step.  Same 65M geometry as the decoder entry."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        ModelConfig, init_params, make_mlm_train_step,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16,
+        tile=TileConfig(block_q=512, block_kv=512),
+    )
+    params = init_params(cfg, seed=0)
+    step, opt = make_mlm_train_step(cfg)
+    st = opt.init(params)
+    bsz, seq = 8, 1024
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size - 1, (bsz, seq)),
+        jnp.int32,
+    )
+    rng = jax.random.PRNGKey(0)
+    params, st, loss = step(params, st, tokens, rng)
+    float(loss)
+    import time as _time
+    n = 12
+    t0 = _time.perf_counter()
+    for i in range(n):
+        rng, sub = jax.random.split(rng)
+        params, st, loss = step(params, st, tokens, sub)
+    float(loss)
+    dt = (_time.perf_counter() - t0) / n
+    emit("train_encoder_tokens_per_sec", bsz * seq / dt, "tokens/s", None,
+         f"{dt*1e3:.1f} ms/step MLM, 65M params, B={bsz} L={seq}, "
+         f"loss {float(loss):.3f}")
+
+
 def bench_long_context():
     """Streaming kernel at L=32768 on one chip (long-context single-chip
     tier; the multi-chip ring extends this to 128K+ per BASELINE)."""
@@ -647,6 +687,7 @@ ALL = {
     "generate_e2e": bench_generate_e2e,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "train_model_tokens": bench_train_model_tokens,
+    "train_encoder_tokens": bench_train_encoder_tokens,
     "long_context": bench_long_context,
     "sliding_window_32k": bench_sliding_window_32k,
     "int8_prefill_4k": bench_int8_prefill_4k,

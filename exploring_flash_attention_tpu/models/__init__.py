@@ -1,3 +1,7 @@
+from exploring_flash_attention_tpu.models.encoder import (
+    make_mlm_train_step,
+    mlm_loss,
+)
 from exploring_flash_attention_tpu.models.generate import (
     GenerationEngine,
     forward_collect_kv,
@@ -21,6 +25,8 @@ __all__ = [
     "forward",
     "loss_fn",
     "make_train_step",
+    "make_mlm_train_step",
+    "mlm_loss",
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",

@@ -138,6 +138,7 @@ def _attn_block(
     p, x, config: ModelConfig,
     tp_axis: Optional[str], sp_axis: Optional[str],
     interpret: Optional[bool],
+    causal: bool = True,
 ):
     """x: [B, L_local, E] (E replicated over tp; L sharded over sp)."""
     c = config
@@ -160,6 +161,10 @@ def _attn_block(
     # GQA: the kernels share the KV head across each q-head group natively
     # (BlockSpec bh // group) — no repeated KV is materialized
 
+    if not causal and (sp_axis is not None or c.window is not None):
+        raise NotImplementedError(
+            "bidirectional attention supports single-shard sequences "
+            "without windows (encoder models)")
     if sp_axis is not None and c.window is not None:
         raise NotImplementedError(
             "sliding-window attention is not composable with sequence "
@@ -183,8 +188,8 @@ def _attn_block(
         else:
             positions = None
         o = flash_attention(
-            q, k, v, config=c.tile, causal=True, interpret=interpret,
-            positions=positions, window=c.window,
+            q, k, v, config=c.tile, causal=causal, interpret=interpret,
+            positions=positions if causal else None, window=c.window,
         )                                               # [B, H, Ll, dh]
     out = jnp.einsum("bhld,hde->ble", o.astype(x.dtype), p["wo"])
     if tp_axis is not None:
@@ -210,13 +215,16 @@ def forward(
     tp_axis: Optional[str] = None,
     sp_axis: Optional[str] = None,
     interpret: Optional[bool] = None,
+    causal: bool = True,
 ) -> jax.Array:
     """Logits [B, L_local, V].  Callable single-device (axes=None) or
-    inside shard_map with tp/sp axis names."""
+    inside shard_map with tp/sp axis names.  ``causal=False`` runs the
+    same stack bidirectionally (encoder models)."""
     x = params["embed"][tokens].astype(config.dtype)
     for p in params["layers"]:
         branch_in = f_tp(x, tp_axis) if tp_axis else x
-        x = x + _attn_block(p, branch_in, config, tp_axis, sp_axis, interpret)
+        x = x + _attn_block(p, branch_in, config, tp_axis, sp_axis,
+                            interpret, causal=causal)
         branch_in = f_tp(x, tp_axis) if tp_axis else x
         x = x + _mlp_block(p, branch_in, config, tp_axis)
     x = _rmsnorm(x, params["ln_f"], config.norm_eps)
