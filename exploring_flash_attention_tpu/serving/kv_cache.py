@@ -256,6 +256,22 @@ def append_prompts(
         seq_lens=cache.seq_lens.at[seq_ids].set(l, mode="drop"),
     )
 
+@jax.jit
+def set_seq_lens(
+    cache: PagedKVCache,
+    seq_ids: jax.Array,          # int32 [B] cache slots
+    new_lens: jax.Array,         # int32 [B]
+) -> PagedKVCache:
+    """Functionally reset per-sequence lengths (speculative-decoding
+    rollback: rejected draft tokens stay in their pages but become
+    invisible — the kernels mask past ``seq_lens`` — and the next append
+    overwrites them, since writes land at ``seq_lens``).  Pages stay
+    mapped; only the length changes."""
+    return dataclasses.replace(
+        cache, seq_lens=cache.seq_lens.at[seq_ids].set(new_lens, mode="drop")
+    )
+
+
 def gather_kv(
     cache: PagedKVCache, seq_id: int, dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array]:
