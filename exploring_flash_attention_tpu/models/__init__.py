@@ -11,6 +11,16 @@ from exploring_flash_attention_tpu.models.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from exploring_flash_attention_tpu.models.seq2seq import (
+    Seq2SeqConfig,
+    init_seq2seq_params,
+    make_seq2seq_train_step,
+    seq2seq_forward,
+    seq2seq_loss,
+)
+from exploring_flash_attention_tpu.models.speculative import (
+    SpeculativeEngine,
+)
 from exploring_flash_attention_tpu.models.transformer import (
     ModelConfig,
     forward,
@@ -32,4 +42,10 @@ __all__ = [
     "latest_checkpoint",
     "GenerationEngine",
     "forward_collect_kv",
+    "Seq2SeqConfig",
+    "init_seq2seq_params",
+    "seq2seq_forward",
+    "seq2seq_loss",
+    "make_seq2seq_train_step",
+    "SpeculativeEngine",
 ]
