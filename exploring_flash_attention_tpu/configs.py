@@ -51,6 +51,11 @@ class TileConfig:
     # rows of scores per softmax strip in the one-pass kernels
     # (None = auto, 256 — the measured v5e optimum at d=128)
     q_chunk: Optional[int] = None
+    # heads processed per one-pass program with their K/V resident
+    # (None = auto: 4 when the whole-head geometry fits VMEM, else 1).
+    # Folding amortizes per-program pipeline fill — measured +3-5% at the
+    # canonical d=128 shape (scripts/proto_headfold*.py); 1 disables.
+    head_fold: Optional[int] = None
 
     def __post_init__(self):
         if self.block_q <= 0 or self.block_kv <= 0:
@@ -59,6 +64,9 @@ class TileConfig:
             # mirrors the reference's power-of-two static_assert
             # (flash_attention_v1/CUDA/flash_attention_v1.h:257-260)
             raise ValueError("block_q / block_kv must be powers of two")
+        if self.head_fold is not None and (
+                self.head_fold < 1 or not _is_pow2(self.head_fold)):
+            raise ValueError("head_fold must be a positive power of two")
         for dt in (self.d_tile_qk, self.d_tile_v):
             if dt is not None and (dt <= 0 or dt % 128 != 0):
                 raise ValueError("d tiles must be positive multiples of 128 (TPU lane width)")

@@ -578,7 +578,13 @@ def _v1_onepass_window_kernel(
 
     Extends the reference's non-causal surface (windows are a framework
     extension; SURVEY §2 lists no masking of any kind).  ``with_lse``
-    also emits the natural-log row LSE (the training-forward residual)."""
+    also emits the natural-log row LSE (the training-forward residual).
+
+    ``diag_off`` need not equal lkv - lq: a caller may place q row 0 at
+    any position past the KV span (diag_off >= lkv), which turns the band
+    into a *suffix band* over a disjoint past — the sequence-parallel
+    window path uses this for the neighbor-tail partial
+    (parallel/window.py)."""
     if with_lse:
         q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     else:
@@ -630,10 +636,11 @@ def _flash_attention_v1_onepass_window(
     q_chunk: Optional[int] = None,
     kv_group: int = 1,
     with_lse: bool = False,
+    row_off: int = 0,
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
-    diag_off = lkv - lq
+    diag_off = lkv - lq + row_off
     # largest q block whose live strip buffers fit the scoped-VMEM budget
     block_q = 256
     for cand in (1024, 512):
@@ -699,7 +706,7 @@ def _flash_attention_v1_onepass_window(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "q_chunk", "interpret"),
+    static_argnames=("scale", "window", "q_chunk", "interpret", "row_off"),
 )
 def flash_attention_v1_window_partial(
     q: jax.Array,               # [B, H, Lq, d]
@@ -709,10 +716,18 @@ def flash_attention_v1_window_partial(
     scale: Optional[float] = None,
     q_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
+    row_off: int = 0,
 ):
     """Sliding-window partial forward over the full KV (decode-convention
     positions): returns (o [B,H,Lq,d] f32 normalized, lse [B,H,Lq] f32
-    natural log) — the residual pair the windowed backward needs."""
+    natural log) — the residual pair the windowed backward needs.
+
+    ``row_off`` shifts q row 0 a further ``row_off`` positions past the
+    decode convention (row j sits at position lkv - lq + row_off + j):
+    with row_off = lq the q rows lie entirely AFTER the KV span and the
+    call computes the suffix-band partial of the sequence-parallel window
+    path (parallel/window.py) — rows whose band misses the KV span come
+    back fully masked (o = 0, lse = -inf, the merge identity)."""
     b, h, lq, d = q.shape
     h_kv, lkv = k.shape[1], k.shape[2]
     if scale is None:
@@ -723,6 +738,7 @@ def flash_attention_v1_window_partial(
         v.reshape(b * h_kv, lkv, d),
         scale, window, jnp.float32, _resolve_interpret(interpret),
         q_chunk=q_chunk, kv_group=h // h_kv, with_lse=True,
+        row_off=row_off,
     )
     return o.reshape(b, h, lq, d), lse.reshape(b, h, lq)
 
@@ -740,6 +756,63 @@ def window_onepass_eligible(lq: int, lkv: int, d: int,
     span = min(_window_span(256, window), lkv)   # whole-KV cap: lo == 0
     return 256 * span * 4 <= ONEPASS_STRIP_BYTES \
         and span * d <= 2 * ONEPASS_MAX_KV_ELEMS
+
+
+def _v1_onepass_fold_kernel(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (fold, Lq, d), (fold, Lkv, d) x2
+    o_ref,                      # VMEM block:  (fold, Lq, d)
+    *,
+    scale: float,
+    q_chunk: int,
+    fold: int,
+):
+    """One-pass kernel computing ``fold`` heads per program with all their
+    K/V resident (VERDICT r2 item 1a): 4x fewer programs amortize the
+    per-program pipeline fill that dominates the headline kernel's gap to
+    its matmul ceiling — measured +3-5% at B=32,H=8,L=1024,d=128
+    (scripts/proto_headfold*.py: fold4 med 153 TF/s vs unfolded 145-149,
+    interleaved).  Head loop unrolled (a fori_loop variant measured
+    slightly slower and compiles to more VMEM traffic); only reachable
+    for shapes whose folded geometry fits VMEM (see launcher gate)."""
+    block_q = q_ref.shape[1]
+    c = scale * LOG2E
+    for hh in range(fold):
+        k = k_ref[hh]
+        v = v_ref[hh]
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            q = q_ref[hh, q0:q0 + rows, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k),
+            )
+            m = jnp.max(s, axis=1, keepdims=True) * c
+            pb = jnp.exp2(s * c - m).astype(v.dtype)
+            pv = jax.lax.dot_general(
+                pb, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v),
+            )
+            denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+
+
+def _headfold(n_bh: int, lq: int, lkv: int, d: int, kv_group: int,
+              requested: Optional[int]) -> int:
+    """Heads per one-pass program.  Folding needs: whole-KV single q
+    block per head, no GQA block sharing, a head count the fold divides,
+    aligned lengths, and a folded working set inside the VMEM budget
+    (fold * lkv * d capped at the one-pass element budget — the measured
+    fold4 @ L=1024/d=128 geometry sits exactly at the cap)."""
+    if kv_group != 1 or lq != lkv or lq % STATS_LANES != 0:
+        return 1
+    fold = 4 if requested is None else requested
+    while fold > 1 and (n_bh % fold != 0
+                        or fold * lkv * d > ONEPASS_MAX_KV_ELEMS):
+        fold //= 2
+    return max(fold, 1)
 
 
 def _v1_onepass_kernel_pvt(
@@ -820,6 +893,7 @@ def _flash_attention_v1_onepass(
     interpret: bool,
     q_chunk: Optional[int] = None,
     kv_group: int = 1,
+    head_fold: Optional[int] = None,
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
@@ -828,6 +902,38 @@ def _flash_attention_v1_onepass(
     block_q = min(block_q, max(lq, 8))
     n_q = cdiv(lq, block_q)
     pvt = d <= PVT_MAX_D
+
+    # Head-folded fast path: fold heads per program, K/V resident
+    # (+3-5% at the canonical shape; _v1_onepass_fold_kernel docstring)
+    fold = 1
+    if not pvt and n_q == 1:
+        fold = _headfold(n_bh, lq, lkv, d, kv_group, head_fold)
+    if fold > 1:
+        kernel = functools.partial(
+            _v1_onepass_fold_kernel,
+            scale=scale,
+            q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
+            fold=fold,
+        )
+        flops = 4 * n_bh * lq * lkv * d
+        return pl.pallas_call(
+            kernel,
+            grid=(n_bh // fold,),
+            in_specs=[pl.BlockSpec((fold, lq, d), lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((fold, lq, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_bh, lq, d), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(qf.size + kf.size + vf.size)
+                * qf.dtype.itemsize
+                + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
+                transcendentals=n_bh * lq * lkv,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
     if pvt:
         # transposed-PV: whole-block strips measured fastest (fewer,
         # larger matmuls beat strip-level MXU/VPU overlap at small d)
@@ -956,6 +1062,7 @@ def flash_attention_v1(
         out = _flash_attention_v1_onepass(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
             q_chunk=config.q_chunk, kv_group=kv_group,
+            head_fold=config.head_fold,
         )
         return out.reshape(b, h, lq, d)
     if causal_eligible and config.one_pass is not False:

@@ -187,6 +187,34 @@ def test_v1_causal_onepass_gqa_cross_length():
     assert error_stats(out, ref)["max_abs"] < 2e-5
 
 
+@pytest.mark.parametrize("fold", [2, 4])
+def test_v1_head_fold(fold):
+    # head-folded one-pass: `fold` heads per program with K/V resident
+    q, k, v = make_qkv(2, 4, 256, 128, dtype=np.float32, seed=19)
+    out = run_v1(q, k, v, config=TileConfig(head_fold=fold, one_pass=True))
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+    # and it computes exactly what the unfolded kernel computes
+    base = run_v1(q, k, v, config=TileConfig(head_fold=1, one_pass=True))
+    np.testing.assert_allclose(out, base, atol=2e-6, rtol=1e-5)
+
+
+def test_v1_head_fold_gating():
+    from exploring_flash_attention_tpu.ops.attention_v1 import _headfold
+
+    # auto folds when the whole-head geometry fits
+    assert _headfold(256, 1024, 1024, 128, 1, None) == 4
+    # GQA block sharing, ragged lengths, misaligned L: no folding
+    assert _headfold(256, 1024, 1024, 128, 2, None) == 1
+    assert _headfold(256, 512, 1024, 128, 1, None) == 1
+    assert _headfold(256, 1000, 1000, 128, 1, None) == 1
+    # requested fold halves down to a divisor of n_bh within VMEM budget
+    assert _headfold(12, 256, 256, 128, 1, 8) == 4
+    # fold * lkv * d above the one-pass element budget halves down too
+    assert _headfold(256, 4096, 4096, 128, 1, 4) == 1
+    with pytest.raises(ValueError, match="head_fold"):
+        TileConfig(head_fold=3)
+
+
 @pytest.mark.parametrize("window", [1, 32, 100])
 def test_v1_sliding_window(window):
     q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=10)
