@@ -26,6 +26,8 @@ from exploring_flash_attention_tpu.models.transformer import (
     ModelConfig,
     Params,
     forward,
+    opt_state_spec,
+    param_spec,
 )
 
 
@@ -66,22 +68,82 @@ def make_mlm_train_step(
     learning_rate: float = 1e-3,
     interpret: Optional[bool] = None,
     optimizer=None,
+    mesh=None,
 ):
     """Returns (train_step(params, opt_state, tokens, rng), optimizer).
 
-    Single-device / dp-via-jit-sharding; the encoder path does not
-    compose with sequence parallelism (bidirectional attention would
-    need a non-causal ring — the causal decoder owns that tier)."""
+    With a mesh: the full step runs inside one shard_map over
+    (dp, tp, sp) — dp shards the batch, tp Megatron-shards heads/FFN,
+    and sp shards the sequence with bidirectional attention through the
+    Ulysses all-to-all (parallel/ulysses.py; heads scatter over sp, each
+    shard computes a complete non-causal softmax).  The MLM mask is drawn
+    replicated (same rng on every shard) and the masked-CE normalizer is
+    the GLOBAL masked count (psum over dp x sp), so the sharded loss
+    equals the single-device one."""
     opt = optimizer if optimizer is not None else optax.adamw(learning_rate)
     mtok = config.vocab_size - 1 if mask_token is None else mask_token
 
-    @jax.jit
-    def train_step(params, opt_state, tokens, rng):
-        loss, grads = jax.value_and_grad(mlm_loss)(
-            params, tokens, rng, config, mtok, mask_rate, interpret
+    if mesh is None:
+        @jax.jit
+        def train_step(params, opt_state, tokens, rng):
+            loss, grads = jax.value_and_grad(mlm_loss)(
+                params, tokens, rng, config, mtok, mask_rate, interpret
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step, opt
+
+    from jax.sharding import PartitionSpec as P
+
+    sp = mesh.shape["sp"]
+
+    def local_step(params, opt_state, inputs, tokens, mask):
+        # inputs/tokens/mask: [B/dp, L] (masked OUTSIDE shard_map at the
+        # global batch shape so the draws match the single-device step);
+        # each sp shard consumes its L/sp slice
+        l_local = tokens.shape[1] // sp
+        start = jax.lax.axis_index("sp") * l_local
+        inputs_l = jax.lax.dynamic_slice_in_dim(inputs, start, l_local, 1)
+        tokens_l = jax.lax.dynamic_slice_in_dim(tokens, start, l_local, 1)
+        mask_l = jax.lax.dynamic_slice_in_dim(mask, start, l_local, 1)
+        denom = jnp.maximum(
+            jax.lax.psum(jnp.sum(mask_l), ("dp", "sp")), 1
+        ).astype(jnp.float32)
+
+        def local_loss(params):
+            logits = forward(params, inputs_l, config, "tp", "sp",
+                             interpret, causal=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, tokens_l)
+            return jnp.sum(jnp.where(mask_l, ce, 0.0)) / denom
+
+        loss_l, grads = jax.value_and_grad(local_loss)(params)
+        # the global loss is a SUM of shard contributions (each already
+        # carries the global normalizer)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("dp", "sp")), grads
         )
+        loss = jax.lax.psum(loss_l, ("dp", "sp"))
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    pspec = param_spec(config)
+    ospec = opt_state_spec(config, opt)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspec, ospec, P("dp", None), P("dp", None),
+                  P("dp", None)),
+        out_specs=(pspec, ospec, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, tokens, rng):
+        inputs, mask = mask_tokens(tokens, rng, mtok, mask_rate)
+        return sharded(params, opt_state, inputs, tokens, mask)
 
     return train_step, opt

@@ -39,6 +39,10 @@ from exploring_flash_attention_tpu.models.parallel_layers import (
 )
 from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
 from exploring_flash_attention_tpu.parallel.ring import ring_flash_attention
+from exploring_flash_attention_tpu.parallel.ulysses import (
+    ulysses_flash_attention,
+)
+from exploring_flash_attention_tpu.parallel.window import sp_window_attention
 
 Params = Dict[str, Any]
 
@@ -63,8 +67,9 @@ class ModelConfig:
     sp_attn: str = "ring"
     # sliding-window (local) attention width for every layer; None = full
     # causal.  Trains through the banded one-pass fwd + banded bwd
-    # (O(L*window) attention cost).  Not yet composable with sequence
-    # parallelism (ring/allgather shards would need banded exchange).
+    # (O(L*window) attention cost).  Composes with sequence parallelism
+    # via the one-hop neighbor-tail exchange (parallel/window.py) when
+    # window <= L_local.
     window: Optional[int] = None
 
     def __post_init__(self):
@@ -144,6 +149,11 @@ def _attn_block(
     c = config
     b, l_local, _ = x.shape
     h = _rmsnorm(x, p["ln1"], c.norm_eps)
+    # Megatron f sits BETWEEN the (replicated) norm and the column-parallel
+    # projections: the norm scale's gradient is then computed from the
+    # already-psum'd cotangent instead of one shard's slice of it
+    if tp_axis is not None:
+        h = f_tp(h, tp_axis)
     q = jnp.einsum("ble,ehd->bhld", h, p["wq"])        # heads local to tp
     k = jnp.einsum("ble,ehd->bhld", h, p["wk"])
     v = jnp.einsum("ble,ehd->bhld", h, p["wv"])
@@ -161,15 +171,34 @@ def _attn_block(
     # GQA: the kernels share the KV head across each q-head group natively
     # (BlockSpec bh // group) — no repeated KV is materialized
 
-    if not causal and (sp_axis is not None or c.window is not None):
+    if not causal and c.window is not None:
         raise NotImplementedError(
-            "bidirectional attention supports single-shard sequences "
-            "without windows (encoder models)")
-    if sp_axis is not None and c.window is not None:
-        raise NotImplementedError(
-            "sliding-window attention is not composable with sequence "
-            "parallelism yet — use window=None or sp=1")
-    if sp_axis is not None and c.sp_attn == "ring":
+            "windows are causal-only (encoder models use window=None)")
+    if not causal and sp_axis is not None:
+        # bidirectional x sequence-parallel: Ulysses all-to-all — heads
+        # scatter over sp, each shard runs a COMPLETE non-causal softmax
+        # at full context (no partial-merge numerics), then the inverse
+        # all-to-all restores the sequence sharding.  When the tp-local
+        # head count can't split over sp, fall back to the all-gather
+        # path (O(L_global) KV per chip — fine at encoder lengths).
+        sp_size = jax.lax.axis_size(sp_axis)
+        if q.shape[1] % sp_size == 0 and k.shape[1] % sp_size == 0:
+            o = ulysses_flash_attention(
+                q, k, v, sp_axis, c.tile, None, False, interpret
+            )                                           # [B, H, Ll, dh]
+        else:
+            kg = gather_seq(k, sp_axis, 2)
+            vg = gather_seq(v, sp_axis, 2)
+            o = flash_attention(
+                q, kg, vg, config=c.tile, causal=False, interpret=interpret,
+            )
+    elif sp_axis is not None and c.window is not None:
+        # windowed x sequence-parallel: one-hop neighbor-tail exchange,
+        # O(window/L_global) of the ring's communication volume
+        o = sp_window_attention(
+            q, k, v, sp_axis, c.window, c.tile, None, interpret
+        )                                               # [B, H, Ll, dh]
+    elif sp_axis is not None and c.sp_attn == "ring":
         # differentiable ring: K/V shards rotate over ICI, every chip keeps
         # O(L_local) memory in forward AND backward — the sp strategy that
         # survives the L=128K tier
@@ -199,6 +228,8 @@ def _attn_block(
 
 def _mlp_block(p, x, config: ModelConfig, tp_axis: Optional[str]):
     h = _rmsnorm(x, p["ln2"], config.norm_eps)
+    if tp_axis is not None:
+        h = f_tp(h, tp_axis)          # norm grad needs the tp-summed cotangent
     gate = jnp.einsum("ble,ef->blf", h, p["w_gate"])
     up = jnp.einsum("ble,ef->blf", h, p["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
@@ -219,14 +250,13 @@ def forward(
 ) -> jax.Array:
     """Logits [B, L_local, V].  Callable single-device (axes=None) or
     inside shard_map with tp/sp axis names.  ``causal=False`` runs the
-    same stack bidirectionally (encoder models)."""
+    same stack bidirectionally (encoder models) — under sp through the
+    Ulysses all-to-all (parallel/ulysses.py)."""
     x = params["embed"][tokens].astype(config.dtype)
     for p in params["layers"]:
-        branch_in = f_tp(x, tp_axis) if tp_axis else x
-        x = x + _attn_block(p, branch_in, config, tp_axis, sp_axis,
+        x = x + _attn_block(p, x, config, tp_axis, sp_axis,
                             interpret, causal=causal)
-        branch_in = f_tp(x, tp_axis) if tp_axis else x
-        x = x + _mlp_block(p, branch_in, config, tp_axis)
+        x = x + _mlp_block(p, x, config, tp_axis)
     x = _rmsnorm(x, params["ln_f"], config.norm_eps)
     return jnp.einsum(
         "ble,ve->blv", x, params["embed"].astype(config.dtype)
@@ -333,32 +363,25 @@ def param_spec(config: ModelConfig) -> Params:
     }
 
 
-def opt_state_spec(config: ModelConfig, opt) -> Any:
-    """Optimizer state mirrors param sharding (mu/nu per-param)."""
-    pspec = param_spec(config)
-    params_shape = jax.eval_shape(lambda: init_params(config))
+def opt_state_spec_from(pspec: Any, params_shape: Any, opt) -> Any:
+    """PartitionSpecs for an optax state: per-param moments (mu/nu)
+    mirror the param sharding, scalars replicate."""
     state_shape = jax.eval_shape(opt.init, params_shape)
 
-    def spec_for(path_leaf):
-        return path_leaf
-
-    def map_state(s):
-        # ScaleByAdamState has mu/nu pytrees shaped like params
-        return jax.tree.map(
-            lambda _: None, s
-        )
-
-    # build by structure: replace any leaf that matches a param position
     def make(s):
         if isinstance(s, optax.ScaleByAdamState):
-            return optax.ScaleByAdamState(
-                count=P(), mu=pspec, nu=pspec
-            )
+            return optax.ScaleByAdamState(count=P(), mu=pspec, nu=pspec)
         if isinstance(s, optax.EmptyState):
             return optax.EmptyState()
         return s
 
     return tuple(make(s) for s in state_shape)
+
+
+def opt_state_spec(config: ModelConfig, opt) -> Any:
+    """Optimizer state mirrors param sharding (mu/nu per-param)."""
+    params_shape = jax.eval_shape(lambda: init_params(config))
+    return opt_state_spec_from(param_spec(config), params_shape, opt)
 
 
 def shard_params(params: Params, mesh: Mesh, config: ModelConfig) -> Params:

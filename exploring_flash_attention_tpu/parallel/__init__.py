@@ -11,6 +11,7 @@ from exploring_flash_attention_tpu.parallel.splitkv_xhost import (
     splitkv_attention_xhost,
 )
 from exploring_flash_attention_tpu.parallel.ulysses import ulysses_attention
+from exploring_flash_attention_tpu.parallel.window import sp_window_attention
 
 __all__ = [
     "make_mesh",
@@ -19,5 +20,6 @@ __all__ = [
     "ring_attention",
     "ring_flash_attention",
     "splitkv_attention_xhost",
+    "sp_window_attention",
     "ulysses_attention",
 ]

@@ -36,6 +36,51 @@ from exploring_flash_attention_tpu.configs import TileConfig
 from exploring_flash_attention_tpu.ops.attention_vjp import flash_attention
 
 
+def ulysses_flash_attention(
+    q_l: jax.Array,             # [B, H, L/sp, d]    (this shard)
+    k_l: jax.Array,             # [B, H_kv, Lkv/sp, d]
+    v_l: jax.Array,
+    axis_name: str = "sp",
+    config: TileConfig = TileConfig(),
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Shard-local Ulysses attention — call INSIDE ``shard_map`` on
+    per-shard values (the :func:`ring_flash_attention` convention).
+    Output is this shard's [B, H, Lq/sp, d].
+
+    Cross-attention ready: q and k/v may carry different (sharded)
+    sequence lengths — each side's all-to-all gathers its own length.
+    Differentiable (all_to_all transposes itself in the VJP)."""
+    sp = jax.lax.axis_size(axis_name)
+    h = q_l.shape[1]
+    h_kv = k_l.shape[1]
+    if h % sp or h_kv % sp:
+        raise ValueError(
+            f"ulysses needs head counts divisible by the sp axis: "
+            f"H={h}, H_kv={h_kv}, sp={sp}"
+        )
+    if sp == 1:
+        return flash_attention(
+            q_l, k_l, v_l, config=config, scale=scale, causal=causal,
+            interpret=interpret,
+        )
+    # heads scatter / sequence gather: [B, H, L/sp, d] -> [B, H/sp, L, d]
+    qh, kh, vh = (
+        jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                           tiled=True)
+        for x in (q_l, k_l, v_l)
+    )
+    o = flash_attention(
+        qh, kh, vh, config=config, scale=scale, causal=causal,
+        interpret=interpret,
+    )
+    # inverse: [B, H/sp, L, d] -> [B, H, L/sp, d]
+    return jax.lax.all_to_all(o, axis_name, split_axis=2, concat_axis=1,
+                              tiled=True)
+
+
 def ulysses_attention(
     q: jax.Array,               # [B, H, L, d]    sharded over sp on dim 2
     k: jax.Array,               # [B, H_kv, L, d] sharded over sp on dim 2
@@ -58,19 +103,9 @@ def ulysses_attention(
         )
 
     def local_fn(q_l, k_l, v_l):
-        # heads scatter / sequence gather: [B, H, L/sp, d] -> [B, H/sp, L, d]
-        qh, kh, vh = (
-            jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
-                               tiled=True)
-            for x in (q_l, k_l, v_l)
+        return ulysses_flash_attention(
+            q_l, k_l, v_l, axis_name, config, scale, causal, interpret
         )
-        o = flash_attention(
-            qh, kh, vh, config=config, scale=scale, causal=causal,
-            interpret=interpret,
-        )
-        # inverse: [B, H/sp, L, d] -> [B, H, L/sp, d]
-        return jax.lax.all_to_all(o, axis_name, split_axis=2, concat_axis=1,
-                                  tiled=True)
 
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(

@@ -194,3 +194,72 @@ def test_encoder_mlm_trains_and_is_bidirectional():
         rng, sub = jax.random.split(rng)
         params, st, loss = step(params, st, data, sub)
     assert float(loss) < float(l0), (float(l0), float(loss))
+
+
+@pytest.mark.parametrize("dp,tp,sp", [(1, 2, 2), (2, 1, 2)])
+def test_windowed_train_step_sharded_matches_single_device(dp, tp, sp):
+    """Windowed attention x sequence parallelism (one-hop tail exchange)
+    inside the full training step: sharded grads == single-device grads."""
+    import optax
+
+    cfg = ModelConfig(
+        vocab_size=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_model=128, d_head=64, d_ff=256,
+        tile=TileConfig(block_q=128, block_kv=128), window=96,
+    )
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp))
+    params = init_params(cfg, seed=0)
+    toks = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2 * dp, 256 * sp + 1)),
+        dtype=jnp.int32)
+
+    sgd = optax.sgd(0.1)
+    step1, opt1 = make_train_step(cfg, optimizer=sgd)
+    st1 = opt1.init(params)
+    p1, _, loss1 = step1(params, st1, toks)
+
+    stepN, optN = make_train_step(cfg, mesh=mesh, optimizer=sgd)
+    pN = shard_params(params, mesh, cfg)
+    stN = optN.init(pN)
+    pN2, _, lossN = stepN(pN, stN, toks)
+
+    assert abs(float(loss1) - float(lossN)) < 1e-4, (loss1, lossN)
+    flat1 = jax.tree.leaves(p1)
+    flatN = jax.tree.leaves(jax.device_get(pN2))
+    for a, b in zip(flat1, flatN):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )
+
+
+@pytest.mark.parametrize("dp,tp,sp", [(2, 2, 2), (1, 4, 2), (1, 1, 4)])
+def test_encoder_mlm_sharded_matches_single_device(dp, tp, sp):
+    """Encoder (bidirectional) training on the mesh: Ulysses all-to-all
+    attention over sp (all-gather fallback when heads can't split),
+    Megatron tp, dp batch sharding — must equal the single-device step."""
+    import optax
+    from exploring_flash_attention_tpu.models.encoder import (
+        make_mlm_train_step,
+    )
+
+    rng = np.random.default_rng(8)
+    toks = _tokens(rng, 4, 128)
+    key = jax.random.PRNGKey(7)
+    params = init_params(CFG, seed=0)
+    sgd = optax.sgd(0.1)
+
+    step1, opt1 = make_mlm_train_step(CFG, optimizer=sgd)
+    p1, _, loss1 = step1(params, opt1.init(params), toks, key)
+
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp))
+    stepN, optN = make_mlm_train_step(CFG, optimizer=sgd, mesh=mesh)
+    pN = shard_params(params, mesh, CFG)
+    pN2, _, lossN = stepN(pN, optN.init(pN), toks, key)
+
+    assert abs(float(loss1) - float(lossN)) < 1e-4, (loss1, lossN)
+    for a, b in zip(jax.tree.leaves(p1),
+                    jax.tree.leaves(jax.device_get(pN2))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )

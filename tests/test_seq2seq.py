@@ -8,6 +8,7 @@ support exists for."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from exploring_flash_attention_tpu.configs import TileConfig
 from exploring_flash_attention_tpu.models.seq2seq import (
@@ -120,3 +121,45 @@ def test_seq2seq_trains():
     grads = jax.grad(seq2seq_loss)(params, src, tgt, CFG)
     gx = np.abs(np.asarray(grads["dec_layers"][0]["cross"]["wq"])).max()
     assert gx > 0.0
+
+
+@pytest.mark.parametrize("dp,tp,sp", [(2, 2, 2), (1, 4, 2), (1, 1, 4)])
+def test_seq2seq_sharded_matches_single_device(dp, tp, sp):
+    """Seq2seq on the mesh: ring for decoder self-attention, Ulysses
+    all-to-all for the bidirectional encoder and cross-attention, tp
+    Megatron everywhere — must equal the single-device step."""
+    import optax
+    from exploring_flash_attention_tpu.configs import MeshConfig
+    from exploring_flash_attention_tpu.models.seq2seq import (
+        make_seq2seq_train_step, shard_seq2seq_params,
+    )
+    from exploring_flash_attention_tpu.parallel import make_mesh
+
+    cfg = Seq2SeqConfig(
+        base=ModelConfig(
+            vocab_size=256, n_layers=1, n_heads=4, n_kv_heads=4,
+            d_model=64, d_head=16, d_ff=128,
+            tile=TileConfig(block_q=32, block_kv=32),
+        ),
+        n_enc_layers=2, n_dec_layers=2,
+    )
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.integers(0, 255, (4, 64)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 255, (4, 129)), jnp.int32)
+    params = init_seq2seq_params(cfg, seed=0)
+    sgd = optax.sgd(0.1)
+
+    step1, opt1 = make_seq2seq_train_step(cfg, optimizer=sgd)
+    p1, _, loss1 = step1(params, opt1.init(params), src, tgt)
+
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp))
+    stepN, optN = make_seq2seq_train_step(cfg, optimizer=sgd, mesh=mesh)
+    pN = shard_seq2seq_params(params, mesh, cfg)
+    pN2, _, lossN = stepN(pN, optN.init(pN), src, tgt)
+
+    assert abs(float(loss1) - float(lossN)) < 1e-4, (loss1, lossN)
+    for a, b in zip(jax.tree.leaves(p1),
+                    jax.tree.leaves(jax.device_get(pN2))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )
