@@ -124,7 +124,7 @@ def main():
     per_chip_n = tps_n / n
     eff = 100.0 * per_chip_n / per_chip_1
     valid = platform == "tpu" and n > 1
-    print(json.dumps({
+    entry = {
         "metric": f"train_scaling_efficiency_{axis}{n}",
         "value": round(eff, 2),
         "unit": "%",
@@ -137,7 +137,24 @@ def main():
         "note": (f"{axis}={n} vs {axis}=1, per-chip tokens/s ratio"
                  + ("" if valid else
                     " — CPU/1-chip run validates the harness only")),
-    }))
+    }
+    print(json.dumps(entry))
+
+    # persist: every round's artifact carries the scaling number
+    # (VERDICT r2 item 6 — the driver-is-the-benchmark rule,
+    # /root/reference/flash_attention_v1/CUDA/driver.cu:218-243)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scaling.json")
+    try:
+        with open(out_path) as f:
+            persisted = {e["metric"]: e for e in json.load(f)}
+    except (OSError, ValueError):
+        persisted = {}
+    persisted[entry["metric"]] = entry
+    with open(out_path, "w") as f:
+        json.dump(sorted(persisted.values(), key=lambda e: e["metric"]),
+                  f, indent=1)
+        f.write("\n")
 
 
 if __name__ == "__main__":

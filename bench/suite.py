@@ -671,6 +671,87 @@ def bench_fwd_causal():
          f"{sec*1e3:.3f} ms causal one-pass, gate {err:.1e}")
 
 
+def bench_spec_decode():
+    """Speculative decoding end to end (VERDICT r2 item 5): the 65M
+    flagship target with a 1-layer draft, greedy.  Three readings:
+
+    - an ON-CHIP bf16 greedy-equivalence gate (spec output must equal the
+      target's own greedy decode token for token — the property that
+      makes speculation free to turn on);
+    - spec_decode_tokens_per_sec with the real draft (random-init weights
+      put acceptance near the 1/vocab floor, so this is the WORST-case
+      overhead reading);
+    - a self-draft leg (draft == target: every proposal accepted) giving
+      the acceptance=1.0 ceiling the serving stack can reach when the
+      draft actually models the target."""
+    import time as _time
+
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        GenerationEngine, ModelConfig, init_params,
+    )
+    from exploring_flash_attention_tpu.models.speculative import (
+        SpeculativeEngine,
+    )
+
+    tile = TileConfig(block_q=512, block_kv=512)
+    tcfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
+    )
+    dcfg = ModelConfig(
+        vocab_size=32768, n_layers=1, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
+    )
+    tparams = init_params(tcfg, seed=0)
+    dparams = init_params(dcfg, seed=7)
+    bsz, l_prompt, n_new, gamma = 8, 256, 24, 4
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, tcfg.vocab_size,
+                                          (bsz, l_prompt)), jnp.int32)
+
+    # vanilla greedy baseline (the same engine bench_generate_e2e times)
+    vanilla = GenerationEngine(tparams, tcfg, max_seqs=bsz, max_len=1024)
+    want = vanilla.generate(prompt, max_new_tokens=n_new)  # compile + warm
+    t0 = _time.perf_counter()
+    want = vanilla.generate(prompt, max_new_tokens=n_new)
+    dt_vanilla = _time.perf_counter() - t0
+
+    spec = SpeculativeEngine(tparams, tcfg, dparams, dcfg,
+                             max_seqs=bsz, max_len=1024)
+    got, _ = spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
+    # on-chip bf16 greedy-equivalence gate (commit 94c5252's probe, now a
+    # re-runnable suite gate)
+    n_diff = int(np.sum(np.asarray(got) != np.asarray(want)))
+    if n_diff:
+        raise AssertionError(
+            f"spec_decode greedy-equivalence: {n_diff}/{want.size} tokens "
+            "differ from target-only greedy decoding")
+    t0 = _time.perf_counter()
+    got, stats = spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
+    dt_spec = _time.perf_counter() - t0
+    emit("spec_decode_tokens_per_sec", bsz * n_new / dt_spec, "tokens/s",
+         (bsz * n_new / dt_spec) / (bsz * n_new / dt_vanilla),
+         f"greedy gate EXACT; acceptance {stats['acceptance_rate']:.3f} "
+         f"(random-init draft = worst case), {stats['rounds']:.0f} rounds; "
+         f"vs_baseline = speedup over target-only generate "
+         f"({bsz*n_new/dt_vanilla:.0f} tok/s)")
+
+    # ceiling: draft == target accepts everything
+    self_spec = SpeculativeEngine(tparams, tcfg, tparams, tcfg,
+                                  max_seqs=bsz, max_len=1024)
+    self_spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
+    t0 = _time.perf_counter()
+    _, sstats = self_spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
+    dt_self = _time.perf_counter() - t0
+    emit("spec_decode_selfdraft_tokens_per_sec", bsz * n_new / dt_self,
+         "tokens/s", (bsz * n_new / dt_self) / (bsz * n_new / dt_vanilla),
+         f"acceptance {sstats['acceptance_rate']:.3f} ceiling "
+         f"(draft == target); {sstats['rounds']:.0f} rounds of "
+         f"gamma={gamma}")
+
+
 ALL = {
     "fwd_d128": bench_fwd_d128,
     "fwd_causal": bench_fwd_causal,
@@ -685,6 +766,7 @@ ALL = {
     "decode_tokens": bench_decode_tokens,
     "extend_prefill": bench_extend_prefill,
     "generate_e2e": bench_generate_e2e,
+    "spec_decode": bench_spec_decode,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "train_model_tokens": bench_train_model_tokens,
     "train_encoder_tokens": bench_train_encoder_tokens,

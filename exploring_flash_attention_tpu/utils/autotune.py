@@ -51,6 +51,8 @@ def _cfg_fields(cfg: TileConfig) -> dict:
         "block_kv": cfg.block_kv,
         "d_tile_qk": cfg.d_tile_qk,
         "d_tile_v": cfg.d_tile_v,
+        "q_chunk": cfg.q_chunk,
+        "head_fold": cfg.head_fold,
     }
     if isinstance(cfg, SplitKVConfig):
         fields["kv_tiles_per_block"] = cfg.kv_tiles_per_block
@@ -98,9 +100,24 @@ def _time_once(fn: Callable[[], jax.Array], iters: int) -> float:
     return times[len(times) // 2]
 
 
-def default_candidates_v1(lq: int, lkv: int, d: int) -> List[TileConfig]:
-    """Candidate tile geometries for the fused forward at this shape."""
+def default_candidates_v1(
+    lq: int, lkv: int, d: int, causal: bool = False,
+) -> List[TileConfig]:
+    """Candidate tile geometries for the fused forward at this shape.
+
+    On one-pass-eligible shapes the launcher picks block geometry
+    internally, so the knobs that actually differentiate candidates are
+    ``q_chunk`` (softmax strip rows) and ``head_fold`` (heads per program
+    with K/V resident) — those are what the sweep varies there."""
+    from exploring_flash_attention_tpu.ops.attention_v1 import fits_onepass
+
     cands = []
+    if not causal and fits_onepass(lkv, d):
+        bq = min(1024, max(lq, 8))
+        for fold in (None, 1, 2):
+            for qc in (None, 512):
+                cands.append(TileConfig(block_q=bq, block_kv=max(lkv, 8),
+                                        q_chunk=qc, head_fold=fold))
     for bq in (256, 512, 1024):
         if bq > lq and bq != min(
             x for x in (256, 512, 1024) if x >= lq or x == 1024
@@ -117,7 +134,7 @@ def default_candidates_v1(lq: int, lkv: int, d: int) -> List[TileConfig]:
     # dedupe preserving order
     seen, out = set(), []
     for c in cands:
-        k = (c.block_q, c.block_kv)
+        k = (c.block_q, c.block_kv, c.q_chunk, c.head_fold)
         if k not in seen:
             seen.add(k)
             out.append(c)
@@ -148,12 +165,27 @@ def autotune_v1(
             return cfg
 
     cands = list(candidates or default_candidates_v1(
-        q.shape[2], k.shape[2], q.shape[3]))
-    best = _sweep_best(
-        cands,
-        lambda cfg: flash_attention_v1(q, k, v, config=cfg, causal=causal),
-        iters, key,
+        q.shape[2], k.shape[2], q.shape[3], causal=causal))
+    # chained-differencing timing (utils/benchmark.py): loose per-call
+    # dispatch timing is noise-dominated through the axon tunnel (~28 ms
+    # round-trip vs ~1 ms kernels) and was observed picking losing
+    # configs; the scan chain isolates pure device time per candidate
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        time_fn_chained,
     )
+
+    best, best_t = None, float("inf")
+    for cfg in cands:
+        try:
+            t = time_fn_chained(
+                lambda x, kk, vv, cfg=cfg: flash_attention_v1(
+                    x, kk, vv, config=cfg, causal=causal),
+                q, k, v, n_long=max(iters, 8), n_short=2, reps=3,
+            )
+        except Exception:  # noqa: BLE001 — infeasible geometry (VMEM, ...)
+            continue
+        if t < best_t:
+            best, best_t = cfg, t
     if best is None:
         raise RuntimeError(
             f"autotune_v1: every candidate config failed for {key}; "

@@ -45,6 +45,26 @@ def time_fn_chained(
     reading).  min(long) - min(short) is robust to one-sided noise.
     """
 
+    return time_fn_chained_windows(
+        fn, x0, *extra, n_long=n_long, n_short=n_short, reps=reps,
+        windows=1,
+    )[0]
+
+
+def time_fn_chained_windows(
+    fn: Callable[..., jax.Array],
+    x0: jax.Array,
+    *extra: jax.Array,
+    n_long: int = 24,
+    n_short: int = 4,
+    reps: int = 4,
+    windows: int = 1,
+) -> list:
+    """``windows`` independent :func:`time_fn_chained` measurements that
+    share ONE compilation of each chain — the per-window distribution the
+    headline artifact reports (tunnel readings for the same binary vary
+    across windows; docs/headline_bound.md)."""
+
     def chain(n):
         @jax.jit
         def run(x, *rest):
@@ -59,15 +79,18 @@ def time_fn_chained(
     float(run_long(x0, *extra))
     float(run_short(x0, *extra))
 
-    shorts, longs = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run_short(x0, *extra))
-        shorts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run_long(x0, *extra))
-        longs.append(time.perf_counter() - t0)
-    return (min(longs) - min(shorts)) / (n_long - n_short)
+    out = []
+    for _ in range(windows):
+        shorts, longs = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run_short(x0, *extra))
+            shorts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run_long(x0, *extra))
+            longs.append(time.perf_counter() - t0)
+        out.append((min(longs) - min(shorts)) / (n_long - n_short))
+    return out
 
 
 def attention_flops(b: int, h: int, lq: int, lkv: int, d: int, causal: bool = False) -> int:
