@@ -534,8 +534,6 @@ def _extend_onepass_kernel(
     jax.lax.fori_loop(0, num_kv_heads, head_step, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_extend_attention(
     q: jax.Array,                # [B, C, Hq, d] — C new tokens per sequence
     cache: PagedKVCache,
@@ -548,7 +546,29 @@ def paged_extend_attention(
     appended to the cache via ``append_prompt``) attend causally over that
     sequence's full paged history.  Returns [B, C, Hq, d].
 
-    With ``window``, pages before every chunk row's band are never read."""
+    With ``window``, pages before every chunk row's band are never read.
+    One-pass residency when the double-buffered int8 page working set fits
+    VMEM (see _extend_onepass_kernel); page streaming otherwise.  The gate
+    runs outside jit so it is part of the trace key."""
+    onepass = (2 * 2 * cache.num_kv_heads * cache.max_pages_per_seq
+               * cache.page_size * cache.head_dim
+               <= EXTEND_ONEPASS_MAX_BYTES)
+    return _paged_extend_attention(
+        q, cache, seq_slots, scale=scale, interpret=interpret,
+        window=window, onepass=onepass)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "window", "onepass"))
+def _paged_extend_attention(
+    q: jax.Array,
+    cache: PagedKVCache,
+    seq_slots: jax.Array,
+    scale: Optional[float],
+    interpret: Optional[bool],
+    window: Optional[int],
+    onepass: bool,
+) -> jax.Array:
     b, c, hq, d = q.shape
     hkv = cache.num_kv_heads
     if hq % hkv:
@@ -563,9 +583,6 @@ def paged_extend_attention(
     qg = q.reshape(b, c, hkv, group, d).transpose(0, 2, 1, 3, 4).reshape(
         b, hkv, c * group, d)
 
-    # one-pass residency when the double-buffered int8 page working set
-    # fits VMEM (see _extend_onepass_kernel); page streaming otherwise
-    onepass = 2 * 2 * hkv * max_pages * ps * d <= EXTEND_ONEPASS_MAX_BYTES
     kernel = functools.partial(
         _extend_onepass_kernel if onepass else _extend_kernel,
         scale=scale,

@@ -46,7 +46,7 @@ o_new = np.asarray(paged_extend_attention(q0, cache, slots),
                    dtype=np.float32)
 _budget = dec.EXTEND_ONEPASS_MAX_BYTES
 dec.EXTEND_ONEPASS_MAX_BYTES = 0
-o_old = np.asarray(paged_extend_attention.__wrapped__(q0, cache, slots),
+o_old = np.asarray(paged_extend_attention(q0, cache, slots),
                    dtype=np.float32)
 dec.EXTEND_ONEPASS_MAX_BYTES = _budget
 diff = np.max(np.abs(o_new - o_old))
@@ -63,6 +63,5 @@ def run(name, fn):
 run("onepass extend", lambda x: paged_extend_attention(x, cache, slots))
 
 dec.EXTEND_ONEPASS_MAX_BYTES = 0
-run("streaming extend", lambda x: paged_extend_attention.__wrapped__(
-    x, cache, slots))
+run("streaming extend", lambda x: paged_extend_attention(x, cache, slots))
 dec.EXTEND_ONEPASS_MAX_BYTES = _budget

@@ -203,8 +203,15 @@ def test_windowed_decode_matches_banded_oracle():
             assert np.abs(out[s] - full[s]).max() > 1e-4
 
 
-def test_paged_extend_matches_oracle():
-    # chunked prefill: C new tokens attend causally over paged history
+@pytest.mark.parametrize("path", ["onepass", "streaming"])
+def test_paged_extend_matches_oracle(path, monkeypatch):
+    # chunked prefill: C new tokens attend causally over paged history.
+    # Both kernels referee against the same oracle: the one-pass kernel
+    # serves spans whose double-buffered pages fit VMEM, the streaming
+    # kernel everything longer — forcing the budget to 0 exercises it here.
+    if path == "streaming":
+        import exploring_flash_attention_tpu.serving.decode as dec
+        monkeypatch.setattr(dec, "EXTEND_ONEPASS_MAX_BYTES", 0)
     rng = np.random.default_rng(9)
     hkv, hq, d, ps = 2, 4, 64, 128
     b, C = 2, 128
