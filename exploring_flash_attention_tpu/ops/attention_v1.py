@@ -324,12 +324,13 @@ def _v1_onepass_kernel(
 
 
 def _v1_onepass_causal_kernel(
-    *refs,                      # q (1,BQ,d), k/v (1,VIS,d), o (1,BQ,d)
-                                # [, lse (1,8,BQ) when with_lse]
+    *refs,                      # q (F,BQ,d), k/v (F,VIS,d), o (F,BQ,d)
+                                # [, lse (F,8,BQ) when with_lse]
     scale: float,
     q_chunk: int,
     q_base: int,                # global q position of this block's row 0
     diag_off: int,              # q_pos0 - kv_pos0 (causal diagonal offset)
+    fold: int = 1,              # heads per program (K/V resident)
     with_lse: bool = False,
 ):
     """Causal single-pass softmax for VMEM-resident KV.
@@ -341,7 +342,22 @@ def _v1_onepass_causal_kernel(
     work is L(L+q_chunk)/2 instead of L^2 (the FLOP halving the streaming
     kernel gets from whole-tile skipping, without the online-softmax
     state), and each strip's softmax is single-pass because its span is
-    complete.  Only the trailing diagonal band of each strip needs a mask.
+    complete.
+
+    Three measured refinements over the round-2 form (scripts/
+    proto_causal_fast*.py at B=32,H=8,L=1024,d=128, ladder
+    90.2 -> 97.9 -> 99.3 -> 137 TF/s of L^2/2 FLOPs):
+      - dense/band split: only the trailing diagonal band of a strip is
+        masked; the dense prefix runs entirely mask-free (every column is
+        visible to every row there, including for its row max) (+8%);
+      - head fold: ``fold`` heads per program with K/V resident amortize
+        the per-program pipeline fill, which weighs double here because a
+        causal program does half a dense program's work;
+      - strips OUTER, folded heads INNER: each strip-class issues ``fold``
+        identical-shape matmul pairs back-to-back, so head h's VPU softmax
+        hides under head h+1's same-shape MXU work instead of under the
+        next strip's differently-shaped matmul (+38% on top of fold —
+        heads-outer measured 99.3, heads-inner 137).
 
     Extends the reference's causal-free surface the same way the streaming
     kernel does (flash_attention_v1/CUDA/flash_attention_v1.h has no mask);
@@ -359,54 +375,119 @@ def _v1_onepass_causal_kernel(
     block_q = q_ref.shape[1]
     vis_blk = k_ref.shape[1]
     c = scale * LOG2E
-    k = k_ref[0]
-    v = v_ref[0]
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         # columns visible to this strip's last row, lane-aligned
         span_exact = q_base + q0 + rows + diag_off
         span = min(vis_blk, -(-max(span_exact, 1) // STATS_LANES)
                    * STATS_LANES)
-        if span <= 0:
-            o_ref[0, q0:q0 + rows, :] = jnp.zeros(
-                (rows, o_ref.shape[2]), o_ref.dtype)
-            if with_lse:
-                lse_ref[0, :, q0:q0 + rows] = jnp.full(
-                    (8, rows), NEG_INF, jnp.float32)
-            continue
-        q = q_ref[0, q0:q0 + rows, :]
-        ks = k[:span]
-        vs = v[:span]
-        s = jax.lax.dot_general(
-            q, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(q, ks),
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0)
-        mask = col <= row + (q_base + q0 + diag_off)
-        s_m = jnp.where(mask, s * c, NEG_INF)
-        m = jnp.max(s_m, axis=1, keepdims=True)
-        # fully-masked rows (cross-length with lkv < lq): m = -inf would
-        # make the exp argument NaN; substitute 0 so p = exp2(-inf) = 0
-        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-        pb = jnp.exp2(s_m - m_safe).astype(v.dtype)
-        pv = jax.lax.dot_general(
-            pb, vs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=dot_precision(vs),
-        )
-        l_raw = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
-        denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
-        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
-        if with_lse:
-            # natural-log LSE over the visible span: max(s*scale) + ln(l);
-            # m is in the exp2-scaled basis (max(s)*scale*log2e)
-            lse = jnp.where(
-                l_raw[:, 0] == 0.0, NEG_INF,
-                m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
+        # columns below this are visible to EVERY row of the strip: the
+        # mask-free dense prefix (aligned down to the lane group)
+        band_lo = min(span, max(0, (q_base + q0 + diag_off + 1)
+                                // STATS_LANES * STATS_LANES))
+        for hh in range(fold):
+            if span <= 0:
+                o_ref[hh, q0:q0 + rows, :] = jnp.zeros(
+                    (rows, o_ref.shape[2]), o_ref.dtype)
+                if with_lse:
+                    lse_ref[hh, :, q0:q0 + rows] = jnp.full(
+                        (8, rows), NEG_INF, jnp.float32)
+                continue
+            q = q_ref[hh, q0:q0 + rows, :]
+            ks = k_ref[hh, :span]
+            vs = v_ref[hh, :span]
+            s = jax.lax.dot_general(
+                q, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q, ks),
             )
-            lse_ref[0, :, q0:q0 + rows] = jnp.broadcast_to(
-                lse[None, :], (8, rows))
+            band = span - band_lo
+            # row max over the VISIBLE columns only: the dense prefix
+            # needs no mask (every column visible), the band maxes over
+            # its masked scores.  A full-strip max would be cheaper and
+            # shift-invariant in exact arithmetic, but it makes the f32
+            # rounding depend on FUTURE tokens — causal outputs must be
+            # bit-exactly invariant to them (tests/test_model.py gates
+            # this; speculative greedy equivalence leans on it).
+            m = None
+            sb_m = None
+            if band > 0:
+                sb = s[:, band_lo:]
+                col = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 0)
+                keep = col + band_lo <= row + (q_base + q0 + diag_off)
+                sb_m = jnp.where(keep, sb * c, NEG_INF)
+                m = jnp.max(sb_m, axis=1, keepdims=True)
+            if band_lo > 0:
+                m_d = jnp.max(s[:, :band_lo], axis=1, keepdims=True) * c
+                m = m_d if m is None else jnp.maximum(m, m_d)
+            # fully-masked rows (cross-length with lkv < lq): m = -inf
+            # would make the exp argument NaN; substitute 0 so p = 0
+            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+            pv = None
+            l_raw = None
+            if band_lo > 0:
+                pd = jnp.exp2(s[:, :band_lo] * c - m_safe).astype(vs.dtype)
+                pv = jax.lax.dot_general(
+                    pd, vs[:band_lo], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(vs),
+                )
+                l_raw = jnp.sum(pd.astype(jnp.float32), axis=1,
+                                keepdims=True)
+            if band > 0:
+                pb = jnp.exp2(sb_m - m_safe).astype(vs.dtype)
+                pv_b = jax.lax.dot_general(
+                    pb, vs[band_lo:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(vs),
+                )
+                l_b = jnp.sum(pb.astype(jnp.float32), axis=1,
+                              keepdims=True)
+                pv = pv_b if pv is None else pv + pv_b
+                l_raw = l_b if l_raw is None else l_raw + l_b
+            denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
+            o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+            if with_lse:
+                # natural-log LSE over the visible span:
+                # max(s*scale) + ln(sum); m is in the exp2-scaled basis
+                lse = jnp.where(
+                    l_raw[:, 0] == 0.0, NEG_INF,
+                    m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
+                )
+                lse_ref[hh, :, q0:q0 + rows] = jnp.broadcast_to(
+                    lse[None, :], (8, rows))
+
+
+# Budget admitting a causal head fold: the strip f32 totals (~5/8 of the
+# dense block_q x vis rectangle per head) plus the folded output blocks
+# must fit the 16 MB scoped-vmem stack next to the K/V blocks.  Measured
+# at 1024x1024/d=128: fold4 bf16-out fits, fold4 f32-out + LSE reads
+# 17.01 MB (OOM), fold8 21+ MB (OOM) — 12 MB on this estimator separates
+# them (scripts/proto_causal_fast3.py; with_lse calibration from the
+# flash_attention_v1_causal_partial compile).
+CAUSAL_FOLD_BYTES = 12 * 1024 * 1024
+
+
+def _causal_headfold(n_bh: int, block_q: int, vis_max: int, d: int,
+                     kv_group: int, out_bytes: int = 2,
+                     with_lse: bool = False) -> int:
+    """Heads per causal one-pass program (the causal analog of _headfold:
+    no GQA block sharing, a dividing head count, lane-aligned geometry,
+    and the folded working set inside budget)."""
+    if (kv_group != 1 or block_q % STATS_LANES != 0
+            or vis_max % STATS_LANES != 0):
+        return 1
+    out_term = block_q * d * (out_bytes + (4 if with_lse else 0))
+    fold = 4
+    while fold > 1 and (
+        n_bh % fold != 0
+        or fold * vis_max * d > ONEPASS_MAX_KV_ELEMS
+        or fold * (block_q * vis_max * 4 * 5 // 8 + out_term)
+        > CAUSAL_FOLD_BYTES
+    ):
+        fold //= 2
+    return max(fold, 1)
 
 
 def _flash_attention_v1_onepass_causal(
@@ -432,6 +513,15 @@ def _flash_attention_v1_onepass_causal(
     block_q = cap_onepass_block_q(block_q, lkv)
     block_q = min(block_q, max(lq, 8))
     chunk = min(q_chunk or ONEPASS_Q_CHUNK, block_q)
+    # head fold (see _v1_onepass_causal_kernel): gate on the LARGEST
+    # q block's visible span so every per-block pallas_call shares one
+    # fold.  A causal program's strip buffers total ~5/8 of a dense
+    # program's, so the same VMEM budget admits the same fold of 4.
+    vis_max = min(lkv, -(-max(diag_off + lq, 1) // STATS_LANES)
+                  * STATS_LANES)
+    fold = _causal_headfold(n_bh, block_q, vis_max, d, kv_group,
+                            out_bytes=jnp.dtype(out_dtype).itemsize,
+                            with_lse=with_lse)
     outs = []
     lses = []
     for q_base in range(0, lq, block_q):
@@ -445,24 +535,26 @@ def _flash_attention_v1_onepass_causal(
             q_chunk=min(chunk, bq),
             q_base=q_base,
             diag_off=diag_off,
+            fold=fold,
             with_lse=with_lse,
         )
-        out_specs = pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0))
+        out_specs = pl.BlockSpec((fold, bq, d), lambda bh, qi: (bh, qi, 0))
         out_shape = jax.ShapeDtypeStruct((n_bh, bq, d), out_dtype)
         if with_lse:
             out_specs = [out_specs,
-                         pl.BlockSpec((1, 8, bq), lambda bh, qi: (bh, 0, qi))]
+                         pl.BlockSpec((fold, 8, bq),
+                                      lambda bh, qi: (bh, 0, qi))]
             out_shape = [out_shape,
                          jax.ShapeDtypeStruct((n_bh, 8, bq), jnp.float32)]
         flops = 2 * n_bh * bq * (diag_off + q_base + bq // 2) * d * 2
         out_i = pl.pallas_call(
             kernel,
-            grid=(n_bh, 1),
+            grid=(n_bh // fold, 1),
             in_specs=[
-                pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, vis, d),
+                pl.BlockSpec((fold, bq, d), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((fold, vis, d),
                              lambda bh, qi: (bh // kv_group, 0, 0)),
-                pl.BlockSpec((1, vis, d),
+                pl.BlockSpec((fold, vis, d),
                              lambda bh, qi: (bh // kv_group, 0, 0)),
             ],
             out_specs=out_specs,
