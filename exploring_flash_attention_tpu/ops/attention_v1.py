@@ -375,6 +375,22 @@ def _v1_onepass_causal_kernel(
     block_q = q_ref.shape[1]
     vis_blk = k_ref.shape[1]
     c = scale * LOG2E
+
+    # The band mask is STATIC per strip (indices and offsets are Python
+    # ints), so it folds into a compile-time 0/-inf bias added in the same
+    # fused multiply-add as the softmax scale: sb*c + TRI.  One VPU op on
+    # the band replaces two iotas + compare + select, and strips with the
+    # same (rows, band, delta) share one constant.
+    _tri_cache = {}
+
+    def _tri(rows, band, delta):
+        key = (rows, band, delta)
+        if key not in _tri_cache:
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 0)
+            _tri_cache[key] = jnp.where(col <= row + delta, 0.0, NEG_INF)
+        return _tri_cache[key]
+
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         # columns visible to this strip's last row, lane-aligned
@@ -413,10 +429,8 @@ def _v1_onepass_causal_kernel(
             sb_m = None
             if band > 0:
                 sb = s[:, band_lo:]
-                col = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 1)
-                row = jax.lax.broadcasted_iota(jnp.int32, (rows, band), 0)
-                keep = col + band_lo <= row + (q_base + q0 + diag_off)
-                sb_m = jnp.where(keep, sb * c, NEG_INF)
+                sb_m = sb * c + _tri(
+                    rows, band, q_base + q0 + diag_off - band_lo)
                 m = jnp.max(sb_m, axis=1, keepdims=True)
             if band_lo > 0:
                 m_d = jnp.max(s[:, :band_lo], axis=1, keepdims=True) * c

@@ -130,7 +130,7 @@ _spec = importlib.util.spec_from_file_location(
                         "proto_causal_fast3.py"))
 _pc3_src = open(_spec.origin).read()
 _pc3_src = _pc3_src[:_pc3_src.index('B, H, L, D = ')]
-_ns = {}
+_ns = {"__file__": _spec.origin}
 exec(compile(_pc3_src, _spec.origin, "exec"), _ns)
 band_causal = _ns["band_causal"]
 
