@@ -56,8 +56,25 @@ class TileConfig:
     # Folding amortizes per-program pipeline fill — measured +3-5% at the
     # canonical d=128 shape (scripts/proto_headfold*.py); 1 disables.
     head_fold: Optional[int] = None
+    # softmax max-statistic strategy on the one-pass paths:
+    #   "exact" — per-row lane max-reduction over the scores (default;
+    #     max_abs ~4e-4 vs the f64 oracle at the canonical bf16 shape);
+    #   "bound" — rigorous Cauchy-Schwarz upper bound
+    #     ||q_i|| * max_j ||k_j|| * scale replaces the reduce.  Softmax is
+    #     shift-invariant, the bound >= true max makes overflow impossible,
+    #     and K norms amortize across strips — measured 161 vs 151 TF/s
+    #     (+6.6%, 81.9% of roofline) at B=32,H=8,L=1024,d=128
+    #     (scripts/proto_r4_boundmax.py).  Costs the top softmax weight its
+    #     exact-1.0 bf16 representation, so max_abs vs the oracle is
+    #     ~1.0e-3 instead of ~4e-4 — inside the reference's 1e-2 tier
+    #     (common/reference.py:24) but marginally over this repo's 1e-3
+    #     headline gate, hence opt-in.
+    softmax: str = "exact"
 
     def __post_init__(self):
+        if self.softmax not in ("exact", "bound"):
+            raise ValueError(
+                f"softmax must be 'exact' or 'bound', got {self.softmax!r}")
         if self.block_q <= 0 or self.block_kv <= 0:
             raise ValueError("block sizes must be positive")
         if not _is_pow2(self.block_q) or not _is_pow2(self.block_kv):

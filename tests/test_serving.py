@@ -242,3 +242,24 @@ def test_paged_extend_matches_oracle(path, monkeypatch):
                                       np.asarray(vf)[:, lo:pos + 1])
                 got = out[s, i].reshape(hkv, hq // hkv, d)
                 assert error_stats(got, ref)["max_abs"] < 1e-4, (w, s, i)
+
+
+def test_extend_onepass_gate_scales_with_lmax():
+    # Round-4 ADVICE fix: the one-pass admission must include the
+    # Lmax-scaled per-head terms (dequantized K/V + f32 score strips),
+    # not just the int8 page buffer — a low-Hkv cache with a long max
+    # span passes a pages-only gate yet OOMs scoped VMEM at compile.
+    from exploring_flash_attention_tpu.serving import decode as dec
+
+    calibrated = make_cache(8, 128, n_pages=8, page_size=256, max_seqs=1,
+                            max_pages_per_seq=8)          # Lmax=2048
+    assert (dec.extend_onepass_vmem_bytes(calibrated, jnp.bfloat16)
+            <= dec.EXTEND_ONEPASS_MAX_BYTES)
+
+    mqa_long = make_cache(2, 64, n_pages=144, page_size=128, max_seqs=1,
+                          max_pages_per_seq=144)          # Lmax=18432
+    est = dec.extend_onepass_vmem_bytes(mqa_long, jnp.bfloat16)
+    # pages alone (~9.4 MB) passed the old gate; the strips (~18.9 MB)
+    # push the true working set far past the 16 MB scoped limit
+    assert est > 16 * 1024 * 1024
+    assert est > dec.EXTEND_ONEPASS_MAX_BYTES
