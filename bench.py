@@ -32,7 +32,7 @@ import numpy as np
 REFERENCE_BEST_MS = 39.0          # tiled_d + WMMA, BASELINE.md (d=128 shape)
 B, H, L, D = 32, 8, 1024, 128
 GATE_BH = 2                       # (b, h) prefix refereed by the f64 oracle
-WINDOWS = 5
+WINDOWS = 7
 
 # the autotune winner lands next to the suite results so the selected
 # config is a checked-in, reviewable artifact

@@ -411,6 +411,7 @@ def _v1_onepass_causal_kernel(
     diag_off: int,              # q_pos0 - kv_pos0 (causal diagonal offset)
     fold: int = 1,              # heads per program (K/V resident)
     with_lse: bool = False,
+    softmax: str = "exact",
 ):
     """Causal single-pass softmax for VMEM-resident KV.
 
@@ -470,6 +471,18 @@ def _v1_onepass_causal_kernel(
             _tri_cache[key] = jnp.where(col <= row + delta, 0.0, NEG_INF)
         return _tri_cache[key]
 
+    # bound softmax (TileConfig.softmax docstring): K row-norms squared,
+    # once per head, shared by every strip.  The per-strip statistic is
+    # the prefix max over the strip's VISIBLE span only — like the exact
+    # row max, it must be bit-exactly invariant to future tokens (the
+    # property the speculative-decode greedy-equivalence gate leans on).
+    knorm_sq = None
+    if softmax == "bound":
+        knorm_sq = []
+        for hh in range(fold):
+            kf32 = k_ref[hh].astype(jnp.float32)
+            knorm_sq.append(jnp.sum(kf32 * kf32, axis=1))      # [vis_blk]
+
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         # columns visible to this strip's last row, lane-aligned
@@ -503,17 +516,27 @@ def _v1_onepass_causal_kernel(
             # shift-invariant in exact arithmetic, but it makes the f32
             # rounding depend on FUTURE tokens — causal outputs must be
             # bit-exactly invariant to them (tests/test_model.py gates
-            # this; speculative greedy equivalence leans on it).
+            # this; speculative greedy equivalence leans on it).  The
+            # bound statistic keeps the same invariance: its K-norm max
+            # covers exactly the visible span.
             m = None
             sb_m = None
             if band > 0:
                 sb = s[:, band_lo:]
                 sb_m = sb * c + _tri(
                     rows, band, q_base + q0 + diag_off - band_lo)
-                m = jnp.max(sb_m, axis=1, keepdims=True)
-            if band_lo > 0:
-                m_d = jnp.max(s[:, :band_lo], axis=1, keepdims=True) * c
-                m = m_d if m is None else jnp.maximum(m, m_d)
+            if softmax == "bound":
+                qf32 = q.astype(jnp.float32)
+                q_sq = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
+                k_sq_vis = jnp.max(knorm_sq[hh][:span])
+                m = jnp.sqrt(q_sq * k_sq_vis) * c - BOUND_SHIFT
+            else:
+                if band > 0:
+                    m = jnp.max(sb_m, axis=1, keepdims=True)
+                if band_lo > 0:
+                    m_d = jnp.max(s[:, :band_lo], axis=1,
+                                  keepdims=True) * c
+                    m = m_d if m is None else jnp.maximum(m, m_d)
             # fully-masked rows (cross-length with lkv < lq): m = -inf
             # would make the exp argument NaN; substitute 0 so p = 0
             m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
@@ -603,6 +626,7 @@ def _flash_attention_v1_onepass_causal(
     kv_group: int = 1,
     diag_off: Optional[int] = None,
     with_lse: bool = False,
+    softmax: str = "exact",
 ):
     """Causal one-pass launcher: one pallas_call per q block, each handed
     only its visible KV prefix (static XLA-level slice, so the late
@@ -642,6 +666,7 @@ def _flash_attention_v1_onepass_causal(
             diag_off=diag_off,
             fold=fold,
             with_lse=with_lse,
+            softmax=softmax,
         )
         out_specs = pl.BlockSpec((fold, bq, d), lambda bh, qi: (bh, qi, 0))
         out_shape = jax.ShapeDtypeStruct((n_bh, bq, d), out_dtype)
@@ -1315,6 +1340,7 @@ def flash_attention_v1(
         out = _flash_attention_v1_onepass_causal(
             qf, kf, vf, scale, out_dtype, _resolve_interpret(interpret),
             q_chunk=config.q_chunk, kv_group=kv_group,
+            softmax=config.softmax,
         )
         return out.reshape(b, h, lq, d)
 

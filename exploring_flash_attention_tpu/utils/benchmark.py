@@ -87,20 +87,37 @@ def time_fn_chained_windows(
             return jnp.sum(c.astype(jnp.float32))
         return run
 
+    def timed(run):
+        t0 = time.perf_counter()
+        float(run(x0, *extra))
+        return time.perf_counter() - t0
+
     run_short = chain(n_short)
     float(run_short(x0, *extra))            # compile + warm
-    cal = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(run_short(x0, *extra))
-        cal.append(time.perf_counter() - t0)
-    per_iter_est = min(cal) / n_short       # >= true per-iter (has overhead)
+    t_short = min(timed(run_short) for _ in range(2))
+    per_iter_est = t_short / n_short        # >= true per-iter (has overhead)
     if per_iter_est > 0:
         n_long = max(n_long,
                      min(n_long_cap,
                          max(2 * n_short, int(target_long_sec / per_iter_est))))
     run_long = chain(n_long)
     float(run_long(x0, *extra))             # compile + warm
+
+    # second calibration pass for dispatch-dominated kernels: when the
+    # per-call overhead (~25-30 ms through the tunnel) dwarfs the kernel,
+    # the first estimate is off by the overhead/work ratio (observed 50x
+    # on the ~0.12 ms extend step, where differencing two nearly-constant
+    # calls went NEGATIVE).  Refine per-iter by differencing and stretch
+    # the chain so the differenced device time itself spans the target.
+    t_long = min(timed(run_long) for _ in range(2))
+    if t_long - t_short < 0.5 * target_long_sec and n_long < 4096:
+        per_iter = max(t_long - t_short, 1e-9) / (n_long - n_short)
+        n_better = min(4096, max(n_long * 2,
+                                 int(target_long_sec / per_iter)))
+        if n_better > n_long:
+            n_long = n_better
+            run_long = chain(n_long)
+            float(run_long(x0, *extra))     # compile + warm
 
     out = []
     for _ in range(windows):

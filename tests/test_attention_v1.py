@@ -451,3 +451,26 @@ def test_v1_bound_softmax_ragged_kv():
 def test_config_softmax_validation():
     with pytest.raises(ValueError, match="softmax"):
         TileConfig(softmax="fast")
+
+
+def test_v1_bound_softmax_causal():
+    # causal bound statistic: prefix-max of the visible K norms — same
+    # shift-invariance, and the causal bit-invariance to future tokens is
+    # preserved because the statistic never reads past the visible span.
+    q, k, v = make_qkv(2, 4, 512, 128, dtype=np.float32, seed=6)
+    cfg = TileConfig(block_q=512, block_kv=512, softmax="bound")
+    out = run_v1(q, k, v, config=cfg, causal=True)
+    ref = naive_attention(q, k, v, causal=True)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+    # future-token invariance (the spec-decode property): extending the
+    # sequence must not change the prefix's outputs bit-for-bit
+    import jax
+    q2 = np.concatenate([q, np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (2, 4, 128, 128)))], axis=2)
+    k2 = np.concatenate([k, np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 4, 128, 128)))], axis=2)
+    v2 = np.concatenate([v, np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (2, 4, 128, 128)))], axis=2)
+    out2 = run_v1(q2.astype(np.float32), k2.astype(np.float32),
+                  v2.astype(np.float32), config=cfg, causal=True)
+    np.testing.assert_array_equal(out2[:, :, :512], out)
