@@ -857,25 +857,38 @@ def bench_spec_decode():
     div = got_np != want_np
     n_diff = int(div.sum())
     max_gap_rel = 0.0
+    tie_tol = 0.0
     if n_diff:
         import dataclasses
         f32cfg = dataclasses.replace(tcfg, dtype=jnp.float32)
         p32 = jax.tree.map(lambda a: a.astype(jnp.float32), tparams)
+        fwd32 = jax.jit(lambda t: forward(p32, t, f32cfg, interpret=True))
+        fwd16 = jax.jit(lambda t: forward(tparams, t, tcfg))
+        # self-calibrating tie band: the bf16 pipeline's own logit noise
+        # vs the f32 reference on a matching prefix — divergent tokens
+        # must sit within 6 sigma of it (a token materially below the
+        # max could never win an argmax through this noise)
+        s0 = int(np.nonzero(div.any(axis=1))[0][0])
+        seq0 = jnp.asarray(np.concatenate(
+            [np.asarray(prompt[s0]), want_np[s0, :8]]))[None]
+        l32 = np.asarray(fwd32(seq0))[0, -1]
+        l16 = np.asarray(fwd16(seq0))[0, -1].astype(np.float32)
+        noise_rel = float(np.std(l16 - l32) / np.std(l32))
+        tie_tol = 6.0 * noise_rel
         for s in np.nonzero(div.any(axis=1))[0][:4]:   # first 4 sequences
             j = int(np.nonzero(div[s])[0][0])
             seq = np.concatenate([np.asarray(prompt[s]), want_np[s, :j]])
-            logits = np.asarray(forward(
-                p32, jnp.asarray(seq)[None], f32cfg, interpret=True,
-            ))[0, -1]
+            logits = np.asarray(fwd32(jnp.asarray(seq)[None]))[0, -1]
             scale = float(np.std(logits))
             top = float(logits.max())
             gap = max(top - float(logits[got_np[s, j]]),
                       top - float(logits[want_np[s, j]]))
             max_gap_rel = max(max_gap_rel, gap / scale)
-            if gap > 0.02 * scale:
+            if gap > tie_tol * scale:
                 raise AssertionError(
                     f"spec_decode divergence at seq {s} pos {j} is NOT a "
-                    f"tie: logit gap {gap:.4f} vs scale {scale:.4f}")
+                    f"tie: logit gap {gap:.4f} vs scale {scale:.4f} "
+                    f"(tie band {tie_tol:.4f} = 6x measured bf16 noise)")
     t0 = _time.perf_counter()
     got, stats = spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
     dt_spec = _time.perf_counter() - t0
@@ -883,8 +896,9 @@ def bench_spec_decode():
          (bsz * n_new / dt_spec) / (bsz * n_new / dt_vanilla),
          f"greedy: {want.size - n_diff}/{want.size} tokens match vanilla; "
          f"every divergence tie-verified (max logit gap "
-         f"{max_gap_rel:.4f} of logit std, tol 0.02; exact equivalence "
-         f"proven at exact arithmetic in tests/test_speculative.py); "
+         f"{max_gap_rel:.4f} of logit std vs tie band {tie_tol:.4f} = "
+         f"6x measured bf16 noise; exact equivalence proven at exact "
+         f"arithmetic in tests/test_speculative.py); "
          f"acceptance {stats['acceptance_rate']:.3f} (random-init draft = "
          f"worst case), {stats['rounds']:.0f} rounds; vs_baseline = "
          f"speedup over target-only generate "
