@@ -158,6 +158,37 @@ def bench_fwd_boundmax():
          f"opt-in, gate {err:.1e} at 2e-3 tier")
 
 
+def bench_fwd_d32_boundmax():
+    """d=32 transposed-PV kernel with the bound softmax: the sublane max
+    reduce over Lkv was the transposed form's dominant non-MXU cost —
+    measured 41.2 -> 54.7 TF/s, past the 49 TF/s "pinned MXU rate"
+    ceiling the r2 analysis assigned (it priced the MXU, not the
+    reductions).  2e-3 gate tier (opt-in, TileConfig docstring)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 32, 8, 1024, 32
+    cfg = TileConfig(block_q=1024, block_kv=1024, softmax="bound")
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    out = np.asarray(flash_attention_v1(
+        qb, kb, vb, config=cfg, out_dtype=jnp.float32)[:2, :2])
+    ref = naive_attention(*(np.asarray(x[:2, :2].astype(jnp.float32))
+                            for x in (qb, kb, vb)))
+    err = gate(out, ref, 2e-3, "fwd_d32_boundmax")
+
+    sec = time_fn_chained(
+        lambda x: flash_attention_v1(x, kb, vb, config=cfg), qb)
+    tf = attention_flops(b, h, l, l, d) / sec / 1e12
+    emit("fwd_d32_boundmax_tflops", tf, "TFLOP/s", 3.39 / (sec * 1e3),
+         f"{sec*1e3:.3f} ms, softmax='bound' opt-in, gate {err:.1e} "
+         f"at 2e-3 tier (exact d32 ships 41.4)")
+
+
 def bench_fwd_streaming():
     """Online-softmax streaming kernel at the canonical shape (the ladder
     rung below one-pass; used for KV too large for VMEM)."""
@@ -595,15 +626,23 @@ def bench_train_encoder_tokens():
     float(loss)
     import time as _time
     n = 12
+    # FIXED rng inside the timed loop, mirroring the decoder entry's
+    # fixed tokens: interleaving host-side jax.random.split eager
+    # dispatches with the async step queue measured 136.7 ms/step for a
+    # 65.5 ms/step model (r4 ablation, scripts/ab_encoder_throughput.py —
+    # with per-step sync the encoder and decoder are EQUAL: 65.5 vs
+    # 65.8 ms; the r2-r3 "3x slower encoder" was this harness artifact,
+    # not the non-causal kernel path)
     t0 = _time.perf_counter()
     for i in range(n):
-        rng, sub = jax.random.split(rng)
-        params, st, loss = step(params, st, tokens, sub)
+        params, st, loss = step(params, st, tokens, rng)
     float(loss)
     dt = (_time.perf_counter() - t0) / n
     emit("train_encoder_tokens_per_sec", bsz * seq / dt, "tokens/s", None,
          f"{dt*1e3:.1f} ms/step MLM, 65M params, B={bsz} L={seq}, "
-         f"loss {float(loss):.3f}")
+         f"loss {float(loss):.3f}; fixed mask in the timed loop — per-step "
+         f"host rng splits measured as a +108%/step dispatch artifact "
+         f"(ab_encoder_throughput.py); decoder-equal at equal harness")
 
 
 def bench_long_context():
@@ -862,8 +901,13 @@ def bench_spec_decode():
         import dataclasses
         f32cfg = dataclasses.replace(tcfg, dtype=jnp.float32)
         p32 = jax.tree.map(lambda a: a.astype(jnp.float32), tparams)
-        fwd32 = jax.jit(lambda t: forward(p32, t, f32cfg, interpret=True))
-        fwd16 = jax.jit(lambda t: forward(tparams, t, tcfg))
+        # params ride as REAL jit arguments — closed-over pytrees become
+        # HLO constants and 260 MB of them overflows the remote-compile
+        # tunnel request (HTTP 413; utils/benchmark.py docstring)
+        fwd32_ = jax.jit(lambda p, t: forward(p, t, f32cfg, interpret=True))
+        fwd16_ = jax.jit(lambda p, t: forward(p, t, tcfg))
+        fwd32 = lambda t: fwd32_(p32, t)              # noqa: E731
+        fwd16 = lambda t: fwd16_(tparams, t)          # noqa: E731
         # self-calibrating tie band: the bf16 pipeline's own logit noise
         # vs the f32 reference on a matching prefix — divergent tokens
         # must sit within 6 sigma of it (a token materially below the
@@ -926,6 +970,7 @@ ALL = {
     "fwd_causal_boundmax": bench_fwd_causal_boundmax,
     "longkv_8k": bench_long_kv_8k,
     "fwd_d32": bench_fwd_d32,
+    "fwd_d32_boundmax": bench_fwd_d32_boundmax,
     "fwd_streaming": bench_fwd_streaming,
     "dtiled_d512": bench_dtiled_d512,
     "dtiled_d512_fp8": bench_dtiled_d512_fp8,

@@ -1088,6 +1088,7 @@ def _v1_onepass_kernel_pvt(
     scale: float,
     q_chunk: int,
     seq_len_kv: int,
+    softmax: str = "exact",
 ):
     """One-pass kernel for small head dims (d <= 32), transposed-PV form.
 
@@ -1108,7 +1109,13 @@ def _v1_onepass_kernel_pvt(
     Lkv x Lkv of (V, P^T)), and the output block is written [d, BQ] with
     the final layout restore done by one XLA swapaxes in the wrapper
     (in-kernel [32, 1024] Mosaic transposes measured 2x the cost).
-    Measured at B=32,H=8,L=1024,d=32: 35.0 -> 40.9 TFLOP/s."""
+    Measured at B=32,H=8,L=1024,d=32: 35.0 -> 40.9 TFLOP/s.
+
+    ``softmax="bound"`` matters MORE here than at d=128: the sublane max
+    reduce over Lkv=1024 is the dominant non-MXU cost of the transposed
+    form — measured 41.2 -> 54.7 TF/s (+33%, past the 49 TF/s bound the
+    r2 analysis treated as the pinned-rate ceiling, which priced the MXU
+    but not the reduction; scripts/proto_d32_bound.py)."""
     block_q = q_ref.shape[1]
     lkv_blk = k_ref.shape[1]
     c = scale * LOG2E
@@ -1119,6 +1126,13 @@ def _v1_onepass_kernel_pvt(
         # zero padded V rows: 0 * NaN would poison the P@V matmul
         vrow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
         v = jnp.where(vrow < seq_len_kv, v, jnp.zeros_like(v))
+    kms = None
+    if softmax == "bound":
+        kb = k
+        if needs_kv_mask:
+            krow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
+            kb = jnp.where(krow < seq_len_kv, k, jnp.zeros_like(k))
+        kms = _k_max_sq(kb, softmax)
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         qc = q_ref[0, q0:q0 + rows, :]
@@ -1130,7 +1144,12 @@ def _v1_onepass_kernel_pvt(
         if needs_kv_mask:
             row = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, rows), 0)
             st = jnp.where(row < seq_len_kv, st, NEG_INF)
-        m = jnp.max(st, axis=0, keepdims=True) * c  # [1, rows]
+        if softmax == "bound":
+            qf32 = qc.astype(jnp.float32)
+            q_sq = jnp.sum(qf32 * qf32, axis=1)    # [rows]
+            m = (jnp.sqrt(q_sq * kms) * c - BOUND_SHIFT)[None, :]
+        else:
+            m = jnp.max(st, axis=0, keepdims=True) * c  # [1, rows]
         p = jnp.exp2(st * c - m)
         if needs_kv_mask:
             p = jnp.where(jnp.isneginf(st), 0.0, p)
@@ -1215,7 +1234,7 @@ def _flash_attention_v1_onepass(
         scale=scale,
         q_chunk=min(q_chunk or default_chunk, block_q),
         seq_len_kv=lkv,
-        **({} if pvt else {"softmax": softmax}),
+        softmax=softmax,
     )
     if pvt:
         out_specs = pl.BlockSpec((1, d, block_q), lambda bh, qi: (bh, 0, qi))

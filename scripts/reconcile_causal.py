@@ -55,9 +55,10 @@ def main():
     vf = vd.reshape(B * H, L, D)
 
     # r3 proto kernel, loaded the way proto_headline_hi.py does
-    _ns = {}
-    src = open(os.path.join(os.path.dirname(__file__),
-                            "proto_causal_fast3.py")).read()
+    proto_path = os.path.join(os.path.dirname(__file__),
+                              "proto_causal_fast3.py")
+    _ns = {"__file__": proto_path}
+    src = open(proto_path).read()
     src = src.split("\nB, H, L, D")[0]     # defs only, not its own bench
     exec(compile(src, "proto_causal_fast3.py", "exec"), _ns)  # noqa: S102
     band_causal = _ns["band_causal"]

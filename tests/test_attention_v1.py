@@ -474,3 +474,17 @@ def test_v1_bound_softmax_causal():
     out2 = run_v1(q2.astype(np.float32), k2.astype(np.float32),
                   v2.astype(np.float32), config=cfg, causal=True)
     np.testing.assert_array_equal(out2[:, :, :512], out)
+
+
+def test_v1_bound_softmax_pvt_d32():
+    # transposed-PV path (d <= 32) with the bound statistic — the biggest
+    # bound win (41 -> 55 TF/s on chip, scripts/proto_d32_bound.py)
+    cfg = TileConfig(block_q=1024, block_kv=1024, softmax="bound")
+    q, k, v = make_qkv(2, 4, 512, 32, dtype=np.float32, seed=7)
+    out = run_v1(q, k, v, config=cfg)
+    assert error_stats(out, naive_attention(q, k, v))["max_abs"] < 2e-5
+    # ragged KV through the masked path
+    q2, k2, v2 = make_qkv(1, 2, 256, 32, dtype=np.float32, seq_len_kv=200,
+                          seed=8)
+    out2 = run_v1(q2, k2, v2, config=cfg)
+    assert error_stats(out2, naive_attention(q2, k2, v2))["max_abs"] < 2e-5

@@ -104,3 +104,23 @@ def test_autotune_dtiled_quantized_kv(tmp_path, monkeypatch):
     at._CACHE.clear()
     assert autotune_dtiled(q, kq, vq, iters=1) == qcfg
     assert autotune_dtiled(q, k, v, candidates=[], iters=1) == bf16_cfg
+
+
+def test_time_fn_chained_calibration_positive():
+    # Round-4: the calibrator must never difference to negative time,
+    # even for dispatch-dominated tiny ops (the failure the suite's
+    # extend entry hit: per-iter overestimated 50x by per-call overhead,
+    # long ~= short, difference below noise).  On CPU the overhead/work
+    # ratio is extreme for a tiny add — the refinement pass must stretch
+    # the chain until the differenced time is meaningful.
+    import jax.numpy as jnp
+
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        time_fn_chained_windows,
+    )
+
+    x = jnp.ones((8, 128), jnp.float32)
+    secs = time_fn_chained_windows(lambda a: a * 1.0000001 + 1e-9,
+                                   x, windows=3, target_long_sec=0.05)
+    assert all(s > 0 for s in secs), secs
+    assert all(s < 0.1 for s in secs), secs
