@@ -528,6 +528,12 @@ def _extend_onepass_kernel(
         v_sc = jnp.where(col_v < sl, sc_buf[db, 1, kh].reshape(1, lmax),
                          0.0)
         kb = k_all.astype(compute_dtype)
+        # (A bound-softmax variant — replacing the row max with the
+        # Cauchy-Schwarz K-norm bound as in ops/attention_v1.py — was
+        # measured HERE at 63.8 vs 118.3 TF/s and reverted: the f32
+        # K-norm pass over the whole resident span per head upsets the
+        # kernel's VMEM/pipeline balance, round-4 A/B via
+        # bench/suite.py extend_prefill.)
         for r0 in range(0, rows_all, EXTEND_Q_STRIP):
             rr = min(EXTEND_Q_STRIP, rows_all - r0)
             qs = q_ref[0, kh, r0:r0 + rr, :]
