@@ -665,6 +665,54 @@ def bench_long_context():
          f"{sec*1e3:.3f} ms causal L=32K")
 
 
+def bench_long_context_boundmax():
+    """L=32768 causal streaming with softmax='bound' (fixed per-row shift
+    from prefix K-norm maxima): the online-softmax state collapses to
+    (acc, l) — measured +28% over the exact streaming kernel at this
+    shape (scripts/ab_streaming_fixedm.py; _v1_kernel docstring)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+    from exploring_flash_attention_tpu.utils.benchmark import (
+        attention_flops, time_fn_chained,
+    )
+
+    b, h, l, d = 1, 8, 32768, 128
+    cfg = TileConfig(block_q=1024, block_kv=2048, softmax="bound")
+    qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
+    # exact-path gate on a [1,1] slice x first 2048 rows (f64 oracle over
+    # 32K columns is slow; the slice exercises the timed kernel path)
+    out = np.asarray(flash_attention_v1(
+        qb, kb, vb, config=cfg, causal=True,
+        out_dtype=jnp.float32)[:1, :1, :2048])
+    # rows 0..2047 of a causal stream see only keys 0..2047, so the
+    # truncated oracle is exact for the sliced rows
+    ref = naive_attention(
+        np.asarray(qb[:1, :1, :2048].astype(jnp.float32)),
+        np.asarray(kb[:1, :1, :2048].astype(jnp.float32)),
+        np.asarray(vb[:1, :1, :2048].astype(jnp.float32)), causal=True)
+    # causal bf16 tier (1e-2, same as bench_fwd_causal): early rows
+    # average few V rows so outputs reach |2|+ and bf16 noise scales with
+    # them; exact-path error on the same slice is reported for contrast
+    err = gate(out, ref, 1e-2, "long_context_boundmax")
+    cfg_e = TileConfig(block_q=1024, block_kv=2048)
+    out_e = np.asarray(flash_attention_v1(
+        qb, kb, vb, config=cfg_e, causal=True,
+        out_dtype=jnp.float32)[:1, :1, :2048])
+    err_e = float(np.max(np.abs(out_e - ref)))
+
+    sec = time_fn_chained(
+        lambda x, kk, vv: flash_attention_v1(x, kk, vv, config=cfg,
+                                             causal=True),
+        qb, kb, vb, n_long=6, n_short=2)
+    tf = attention_flops(b, h, l, l, d, causal=True) / sec / 1e12
+    emit("fwd_long_context_32k_boundmax_tflops", tf, "TFLOP/s", None,
+         f"{sec*1e3:.3f} ms causal L=32K softmax='bound' opt-in, "
+         f"gate {err:.1e} vs exact-path {err_e:.1e} on [1,1,:2048] slice "
+         f"(causal 1e-2 tier)")
+
+
 def bench_int8_prefill_4k():
     """INT8-QKV at a long-prefill shape (L=4096): the per-call Q
     quantization amortizes over 4x the KV work and the int8 MXU edge
@@ -985,6 +1033,7 @@ ALL = {
     "train_model_tokens": bench_train_model_tokens,
     "train_encoder_tokens": bench_train_encoder_tokens,
     "long_context": bench_long_context,
+    "long_context_boundmax": bench_long_context_boundmax,
     "sliding_window_32k": bench_sliding_window_32k,
     "int8_prefill_4k": bench_int8_prefill_4k,
 }

@@ -488,3 +488,50 @@ def test_v1_bound_softmax_pvt_d32():
                           seed=8)
     out2 = run_v1(q2, k2, v2, config=cfg)
     assert error_stats(out2, naive_attention(q2, k2, v2))["max_abs"] < 2e-5
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_v1_bound_softmax_streaming(causal):
+    # streaming path with the FIXED bound shift: online state collapses
+    # to (acc, l) — no running max, no alpha (see _v1_kernel docstring)
+    cfg = TileConfig(block_q=128, block_kv=128, one_pass=False,
+                     softmax="bound")
+    q, k, v = make_qkv(2, 2, 384, 64, dtype=np.float32, seed=9)
+    out = run_v1(q, k, v, config=cfg, causal=causal)
+    ref = naive_attention(q, k, v, causal=causal)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
+
+    # ragged KV + GQA
+    q2, k2, v2 = make_qkv(1, 4, 256, 64, dtype=np.float32, seq_len_kv=200,
+                          seed=10)
+    k2, v2 = k2[:, :2], v2[:, :2]
+    out2 = run_v1(q2, k2, v2, config=cfg, causal=False)
+    ref2 = naive_attention(q2, np.repeat(k2, 2, axis=1),
+                           np.repeat(v2, 2, axis=1))
+    assert error_stats(out2, ref2)["max_abs"] < 2e-5
+
+
+def test_v1_bound_softmax_streaming_causal_invariance():
+    # prefix-kmax covers only VISIBLE tiles: extending the sequence must
+    # not change the prefix's outputs bit-for-bit (full q blocks only)
+    import jax
+    cfg = TileConfig(block_q=128, block_kv=128, one_pass=False,
+                     softmax="bound")
+    q, k, v = make_qkv(1, 2, 256, 64, dtype=np.float32, seed=11)
+    out = run_v1(q, k, v, config=cfg, causal=True)
+    ext = [np.asarray(jax.random.normal(jax.random.PRNGKey(i),
+                                        (1, 2, 128, 64)), np.float32)
+           for i in range(3)]
+    out2 = run_v1(np.concatenate([q, ext[0]], 2),
+                  np.concatenate([k, ext[1]], 2),
+                  np.concatenate([v, ext[2]], 2), config=cfg, causal=True)
+    np.testing.assert_array_equal(out2[:, :, :256], out)
+
+
+def test_v1_bound_softmax_streaming_window():
+    cfg = TileConfig(block_q=128, block_kv=128, one_pass=False,
+                     softmax="bound")
+    q, k, v = make_qkv(1, 2, 384, 64, dtype=np.float32, seed=12)
+    out = run_v1(q, k, v, config=cfg, causal=True, window=100)
+    ref = naive_attention(q, k, v, causal=True, window=100)
+    assert error_stats(out, ref)["max_abs"] < 2e-5
