@@ -72,6 +72,12 @@ ONEPASS_MAX_KV_ELEMS = ONEPASS_MAX_KV * 128
 # matmul (measured optimum on v5e; see scripts/proto_onepass*.py sweeps).
 ONEPASS_Q_CHUNK = 256
 
+# Strip rows for the PIPELINED exact fold kernel: smaller strips give the
+# 3-stage software pipeline more (head, strip) slots to overlap — measured
+# optimum qc128 (158-161 TF/s) vs qc256 (155) vs qc512 (152) at the
+# canonical d=128 shape (scripts/proto_r5_pipe.py).
+ONEPASS_FOLD_Q_CHUNK = 128
+
 
 def onepass_span(lkv: int, d: int, block_kv: int) -> Optional[int]:
     """Largest KV span within the one-pass VMEM budget that tiles ``lkv``
@@ -138,6 +144,7 @@ def onepass_fold_vmem_bytes(
     with_lse: bool = False,
     q_chunk: int = ONEPASS_Q_CHUNK,
     strip_spans: Optional[list] = None,
+    pipelined: bool = False,
 ) -> int:
     """Estimated scoped-VMEM working set of one head-folded one-pass
     program (VERDICT r3 item 6 — replaces the CAUSAL_FOLD_BYTES /
@@ -174,8 +181,17 @@ def onepass_fold_vmem_bytes(
                     * (4 + in_bytes)
                     for i in range(len(strip_spans)))
     pv_f32 = 4 * n_strips * q_chunk * d
-    p_staging = q_chunk * vis * in_bytes
-    return blocks + score_f32 + bands + pv_f32 + p_staging
+    # the 3-stage pipelined exact kernel (round 5) keeps TWO strips'
+    # storage-dtype P staging buffers live (stage B's current + stage C's
+    # trailing) plus roughly half a strip of f32 exp2 temporaries inside
+    # the overlap window.  The half-strip coefficient is calibrated on the
+    # six fold4 boundary geometries measured on v5e (round 5): fits —
+    # qc128 bf16/f32, qc256 bf16; OOM — qc256 f32, qc512 bf16/f32; with
+    # the non-pipelined points (bound/causal) keeping their round-4
+    # calibration.
+    p_staging = (2 if pipelined else 1) * q_chunk * vis * in_bytes
+    pipe_overlap = (q_chunk // 2) * vis * 4 if pipelined else 0
+    return blocks + score_f32 + bands + pv_f32 + p_staging + pipe_overlap
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
@@ -406,8 +422,20 @@ def _v1_onepass_kernel(
             krow = jax.lax.broadcasted_iota(jnp.int32, (lkv_blk, 1), 0)
             kb = jnp.where(krow < seq_len_kv, k, jnp.zeros_like(k))
         kms = _k_max_sq(kb, softmax)
-    for q0 in range(0, block_q, q_chunk):
-        rows = min(q_chunk, block_q - q0)
+    # Cast p to the storage dtype once and derive BOTH matmul operand
+    # and denominator from it: the f32 score strip is read exactly
+    # once after exp2, and numerator/denominator rounding partially
+    # cancels in O = pv/denom.  Summing after the PV dot_general lets
+    # the VPU reduction ride under the MXU matmul (measured ~2% at
+    # the canonical shape; scripts/proto_onepass10.py).
+    #
+    # Exact softmax runs the round-5 3-stage software pipeline (QK^T of
+    # strip t+1 before softmax of strip t, denominator/store one slot
+    # later — see _v1_onepass_fold_kernel); the zero-guard is elided
+    # when no KV mask exists (exact max => denom >= 1); bound mode keeps
+    # the sequential loop (its p_top can underflow and its shift needs q).
+
+    def _stage_a(q0, rows):
         q = q_ref[0, q0:q0 + rows, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -417,24 +445,45 @@ def _v1_onepass_kernel(
         if needs_kv_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, (rows, lkv_blk), 1)
             s = jnp.where(col < seq_len_kv, s, NEG_INF)
+        return q, s
+
+    def _stage_b(q0, q, s):
         m = _softmax_m(s, q, kms, c, softmax)
         p = jnp.exp2(s * c - m)
         if needs_kv_mask:
             p = jnp.where(jnp.isneginf(s), 0.0, p)
-        # Cast p to the storage dtype once and derive BOTH matmul operand
-        # and denominator from it: the f32 score strip is read exactly
-        # once after exp2, and numerator/denominator rounding partially
-        # cancels in O = pv/denom.  Summing after the PV dot_general lets
-        # the VPU reduction ride under the MXU matmul (measured ~2% at
-        # the canonical shape; scripts/proto_onepass10.py).
         pb = p.astype(v.dtype)
         pv = jax.lax.dot_general(
             pb, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dot_precision(v),
         )
+        return q0, pb, pv
+
+    def _stage_c(q0, pb, pv):
         denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        o_ref[0, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+        if needs_kv_mask or softmax != "exact":
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, q0:q0 + pv.shape[0], :] = (pv / denom).astype(o_ref.dtype)
+
+    if softmax == "exact":
+        qk_pend, bc_pend = [], []
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            qk_pend.append((q0, *_stage_a(q0, rows)))
+            if len(qk_pend) > 1:
+                q0p, qp, sp = qk_pend.pop(0)
+                bc_pend.append(_stage_b(q0p, qp, sp))
+            if len(bc_pend) > 1:
+                _stage_c(*bc_pend.pop(0))
+        for q0p, qp, sp in qk_pend:
+            bc_pend.append(_stage_b(q0p, qp, sp))
+        for item in bc_pend:
+            _stage_c(*item)
+    else:
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            q, s = _stage_a(q0, rows)
+            _stage_c(*_stage_b(q0, q, s))
 
 
 def _v1_onepass_causal_kernel(
@@ -1067,37 +1116,91 @@ def _v1_onepass_fold_kernel(
     slightly slower and compiles to more VMEM traffic); only reachable
     for shapes whose folded geometry fits VMEM (see launcher gate).
 
+    The exact path is a THREE-STAGE SOFTWARE PIPELINE over (head, strip)
+    slots (round 5): strip t+1's QK^T is issued before strip t's
+    max/exp2/PV, whose denominator/divide/store in turn trails one more
+    slot.  Mosaic will not hoist VPU reductions across statement order on
+    its own (r4's within-strip chunking moved +0.6%); this ordering plus
+    a small strip (q_chunk 128) hands it the overlap explicitly —
+    measured 151→158-161 TF/s at B=32,H=8,L=1024,d=128, outputs BITWISE
+    identical (scripts/proto_r5_pipe.py).  The denominator's zero-guard
+    is statically elided here: with an exact max the argmax element's
+    shifted score is exactly 0.0 (same f32 product subtracted from
+    itself), so denom = sum(pb) >= exp2(0) = 1 — there are no masked or
+    padded rows on the fold path (launcher requires lq == lkv aligned,
+    no GQA).  The guard's [rows,1] select measured ~2% on its own.
+
     ``softmax="bound"`` replaces the row-max lane reduction with the
-    Cauchy-Schwarz bound (_softmax_m) — the round-4 fast path."""
+    Cauchy-Schwarz bound (_softmax_m) — the round-4 fast path; its p_top
+    can legitimately underflow, so it keeps the guard and the plain loop."""
     block_q = q_ref.shape[1]
     c = scale * LOG2E
-    for hh in range(fold):
-        k = k_ref[hh]
+    if softmax == "bound":
+        for hh in range(fold):
+            k = k_ref[hh]
+            v = v_ref[hh]
+            kms = _k_max_sq(k, softmax)
+            for q0 in range(0, block_q, q_chunk):
+                rows = min(q_chunk, block_q - q0)
+                q = q_ref[hh, q0:q0 + rows, :]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k),
+                )
+                m = _softmax_m(s, q, kms, c, softmax)
+                pb = jnp.exp2(s * c - m).astype(v.dtype)
+                pv = jax.lax.dot_general(
+                    pb, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(v),
+                )
+                denom = jnp.sum(pb.astype(jnp.float32), axis=1,
+                                keepdims=True)
+                denom = jnp.where(denom == 0.0, 1.0, denom)
+                o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+        return
+
+    def _stage_b(hh, q0, s):
         v = v_ref[hh]
-        kms = _k_max_sq(k, softmax)
+        m = jnp.max(s, axis=1, keepdims=True) * c
+        pb = jnp.exp2(s * c - m).astype(v.dtype)
+        pv = jax.lax.dot_general(
+            pb, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(v),
+        )
+        return hh, q0, pb, pv
+
+    def _stage_c(hh, q0, pb, pv):
+        denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+        o_ref[hh, q0:q0 + pv.shape[0], :] = (pv / denom).astype(o_ref.dtype)
+
+    qk_pend, bc_pend = [], []
+    for hh in range(fold):
         for q0 in range(0, block_q, q_chunk):
             rows = min(q_chunk, block_q - q0)
             q = q_ref[hh, q0:q0 + rows, :]
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q, k_ref[hh], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=dot_precision(q, k),
+                precision=dot_precision(q, k_ref[hh]),
             )
-            m = _softmax_m(s, q, kms, c, softmax)
-            pb = jnp.exp2(s * c - m).astype(v.dtype)
-            pv = jax.lax.dot_general(
-                pb, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(v),
-            )
-            denom = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
-            denom = jnp.where(denom == 0.0, 1.0, denom)
-            o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+            qk_pend.append((hh, q0, s))
+            if len(qk_pend) > 1:
+                bc_pend.append(_stage_b(*qk_pend.pop(0)))
+            if len(bc_pend) > 1:
+                _stage_c(*bc_pend.pop(0))
+    for item in qk_pend:
+        bc_pend.append(_stage_b(*item))
+    for item in bc_pend:
+        _stage_c(*item)
 
 
 def _headfold(n_bh: int, lq: int, lkv: int, d: int, kv_group: int,
               requested: Optional[int], out_bytes: int = 2,
-              q_chunk: int = ONEPASS_Q_CHUNK) -> int:
+              q_chunk: int = ONEPASS_Q_CHUNK,
+              pipelined: bool = False) -> int:
     """Heads per one-pass program.  Folding needs: whole-KV single q
     block per head, no GQA block sharing, a head count the fold divides,
     aligned lengths, and a folded working set inside the VMEM budget
@@ -1110,6 +1213,7 @@ def _headfold(n_bh: int, lq: int, lkv: int, d: int, kv_group: int,
         n_bh % fold != 0
         or onepass_fold_vmem_bytes(
             lq, lkv, d, fold, out_bytes=out_bytes, q_chunk=q_chunk,
+            pipelined=pipelined,
         ) > FOLD_VMEM_BUDGET
     ):
         fold //= 2
@@ -1226,16 +1330,19 @@ def _flash_attention_v1_onepass(
 
     # Head-folded fast path: fold heads per program, K/V resident
     # (+3-5% at the canonical shape; _v1_onepass_fold_kernel docstring)
+    fold_qc_default = (ONEPASS_FOLD_Q_CHUNK if softmax == "exact"
+                       else ONEPASS_Q_CHUNK)
     fold = 1
     if not pvt and n_q == 1:
         fold = _headfold(n_bh, lq, lkv, d, kv_group, head_fold,
                          out_bytes=jnp.dtype(out_dtype).itemsize,
-                         q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q))
+                         q_chunk=min(q_chunk or fold_qc_default, block_q),
+                         pipelined=softmax == "exact")
     if fold > 1:
         kernel = functools.partial(
             _v1_onepass_fold_kernel,
             scale=scale,
-            q_chunk=min(q_chunk or ONEPASS_Q_CHUNK, block_q),
+            q_chunk=min(q_chunk or fold_qc_default, block_q),
             fold=fold,
             softmax=softmax,
         )

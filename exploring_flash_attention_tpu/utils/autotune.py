@@ -114,8 +114,10 @@ def default_candidates_v1(
     cands = []
     if not causal and fits_onepass(lkv, d):
         bq = min(1024, max(lq, 8))
+        # qc None resolves to the per-path default (128 pipelined exact
+        # fold, 256 otherwise — attention_v1.ONEPASS_FOLD_Q_CHUNK)
         for fold in (None, 1, 2):
-            for qc in (None, 512):
+            for qc in (None, 256, 512):
                 cands.append(TileConfig(block_q=bq, block_kv=max(lkv, 8),
                                         q_chunk=qc, head_fold=fold))
     for bq in (256, 512, 1024):

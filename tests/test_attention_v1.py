@@ -377,16 +377,30 @@ def test_onepass_fold_vmem_estimator_boundaries():
     )
 
     est = onepass_fold_vmem_bytes
-    # dense fold4 bf16-out qc256/qc512: fits on hardware
+    # --- pipelined exact kernel (round-5 measured boundary points on
+    # v5e, scripts/proto_r5_pipe.py + forced-compile probes): fold4
+    # qc128 bf16/f32 and qc256 bf16 compile; qc256 f32 and qc512 OOM ---
+    assert est(1024, 1024, 128, 4, q_chunk=128,
+               pipelined=True) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, out_bytes=4, q_chunk=128,
+               pipelined=True) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, pipelined=True) <= FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, out_bytes=4,
+               pipelined=True) > FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 4, q_chunk=512,
+               pipelined=True) > FOLD_VMEM_BUDGET
+    # --- non-pipelined (bound/causal) keep the round-4 calibration:
+    # dense fold4 bf16-out qc256/qc512 and f32-out qc256 fit on
+    # hardware; qc512 f32-out measured 17.21 MB (OOM) ---
     assert est(1024, 1024, 128, 4) <= FOLD_VMEM_BUDGET
     assert est(1024, 1024, 128, 4, q_chunk=512) <= FOLD_VMEM_BUDGET
-    # dense fold4 f32-out qc256 fits (the bench.py gate path);
-    # qc512 f32-out measured 17.21 MB (OOM)
     assert est(1024, 1024, 128, 4, out_bytes=4) <= FOLD_VMEM_BUDGET
     assert est(1024, 1024, 128, 4, out_bytes=4,
                q_chunk=512) > FOLD_VMEM_BUDGET
     # fold8 bf16 measured 21+ MB (OOM)
     assert est(1024, 1024, 128, 8) > FOLD_VMEM_BUDGET
+    assert est(1024, 1024, 128, 8, q_chunk=128,
+               pipelined=True) > FOLD_VMEM_BUDGET
 
     # causal diagonal block: fold4 bf16 fits; f32-out + LSE measured
     # 17.01 MB (OOM)
