@@ -1309,6 +1309,70 @@ def _v1_onepass_kernel_pvt(
 # stream (measured: PV direct d=64 69.7 vs full 138.9 TFLOP/s)
 PVT_MAX_D = 32
 
+# Pipelined fold-pvt strip rows: qc512 measured best (44.2 TF/s vs 43.2
+# at fold2, 39.0 at qc256 — small strips starve the d=32 MXU passes;
+# scripts/proto_r5_d32_ones.py)
+PVT_PIPE_Q_CHUNK = 512
+PVT_PIPE_FOLD = 4
+
+
+def _v1_onepass_pvt_pipe_kernel(
+    q_ref, k_ref, v_ref,        # VMEM blocks: (fold, L, d) x3
+    o_ref,                      # VMEM block:  (fold, d, L) — transposed
+    *,
+    scale: float,
+    q_chunk: int,
+    fold: int,
+):
+    """3-stage pipelined transposed-PV kernel for small head dims, exact
+    softmax (round 5): the sublane max reduce over Lkv — the dominant
+    non-MXU cost of the transposed form — overlaps the next strip's
+    K@Q^T.  Measured 41.1 -> 44.2 TF/s at B=32,H=8,L=1024,d=32 with
+    fold4/qc512; bound mode does NOT pipeline (no critical-path reduce
+    to hide; measured 53.1 pipelined vs 54.9 plain) and keeps
+    _v1_onepass_kernel_pvt.  The ones-row-in-V^T denominator fold was
+    measured and buried: 40.5/54.5 vs 41.3/55.1 (VERDICT r4 item 6,
+    scripts/proto_r5_d32_ones.py — the denominator sublane reduce
+    already rides under the MXU; 8 extra output sublanes only add work).
+    Zero-guard elided as in _v1_onepass_fold_kernel (exact max, no
+    masked rows on this path)."""
+    block_q = q_ref.shape[1]
+    c = scale * LOG2E
+
+    def _stage_b(hh, q0, st):
+        m = jnp.max(st, axis=0, keepdims=True) * c
+        pb = jnp.exp2(st * c - m).astype(v_ref.dtype)
+        ot = jax.lax.dot_general(
+            v_ref[hh], pb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(v_ref[hh]),
+        )
+        return hh, q0, pb, ot
+
+    def _stage_c(hh, q0, pb, ot):
+        denom = jnp.sum(pb.astype(jnp.float32), axis=0, keepdims=True)
+        o_ref[hh, :, q0:q0 + ot.shape[1]] = (ot / denom).astype(o_ref.dtype)
+
+    qk_pend, bc_pend = [], []
+    for hh in range(fold):
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            qcur = q_ref[hh, q0:q0 + rows, :]
+            st = jax.lax.dot_general(
+                k_ref[hh], qcur, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref[hh], qcur),
+            )
+            qk_pend.append((hh, q0, st))
+            if len(qk_pend) > 1:
+                bc_pend.append(_stage_b(*qk_pend.pop(0)))
+            if len(bc_pend) > 1:
+                _stage_c(*bc_pend.pop(0))
+    for item in qk_pend:
+        bc_pend.append(_stage_b(*item))
+    for item in bc_pend:
+        _stage_c(*item)
+
 
 def _flash_attention_v1_onepass(
     qf, kf, vf,                  # [n_bh, L, d] / [n_bh_kv, L, d] x2
@@ -1338,6 +1402,46 @@ def _flash_attention_v1_onepass(
                          out_bytes=jnp.dtype(out_dtype).itemsize,
                          q_chunk=min(q_chunk or fold_qc_default, block_q),
                          pipelined=softmax == "exact")
+
+    # Pipelined fold-pvt fast path for small head dims, exact softmax
+    # (41.1 -> 44.2 TF/s at the reference's flagship d=32 shape; see
+    # _v1_onepass_pvt_pipe_kernel docstring).  Same eligibility as the
+    # direct fold path: aligned square lengths, no GQA block sharing.
+    pvt_fold = 0
+    if (pvt and n_q == 1 and kv_group == 1 and lq == lkv
+            and lq % STATS_LANES == 0 and softmax == "exact"
+            and head_fold != 1):
+        pvt_fold = PVT_PIPE_FOLD if head_fold is None else head_fold
+        while pvt_fold > 1 and n_bh % pvt_fold != 0:
+            pvt_fold //= 2
+    if pvt_fold > 1:
+        kernel = functools.partial(
+            _v1_onepass_pvt_pipe_kernel,
+            scale=scale,
+            q_chunk=min(q_chunk or PVT_PIPE_Q_CHUNK, block_q),
+            fold=pvt_fold,
+        )
+        flops = 4 * n_bh * lq * lkv * d
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_bh // pvt_fold,),
+            in_specs=[pl.BlockSpec((pvt_fold, lq, d),
+                                   lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((pvt_fold, d, lq), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_bh, d, lq), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(qf.size + kf.size + vf.size)
+                * qf.dtype.itemsize
+                + n_bh * lq * d * jnp.dtype(out_dtype).itemsize,
+                transcendentals=n_bh * lq * lkv,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.swapaxes(1, 2)
     if fold > 1:
         kernel = functools.partial(
             _v1_onepass_fold_kernel,
