@@ -848,9 +848,11 @@ def bench_fwd_causal():
 
 def bench_fwd_causal_boundmax():
     """Causal one-pass with the bound softmax (prefix-max visible K norms;
-    causal bit-invariance preserved).  Causal strips are more
-    reduction-heavy per useful FLOP than dense ones, so the bound's win
-    is larger here.  Own 2e-3 gate tier over the bf16 causal baseline."""
+    bit-invariance to future tokens holds at aligned strip granularity —
+    see the knorm_sq note in ops/attention_v1.py).  Causal strips are
+    more reduction-heavy per useful FLOP than dense ones, so the bound's
+    win is larger here.  Own 2e-3 gate tier over the bf16 causal
+    baseline."""
     import jax.numpy as jnp
     from exploring_flash_attention_tpu.configs import TileConfig
     from exploring_flash_attention_tpu.oracle.reference import naive_attention
@@ -867,7 +869,10 @@ def bench_fwd_causal_boundmax():
     ref = naive_attention(
         *(np.asarray(x[:2, :2].astype(jnp.float32)) for x in (qb, kb, vb)),
         causal=True)
-    err = gate(out, ref, 1e-2, "fwd_causal_boundmax")
+    # 2e-3 tier, matching fwd_boundmax/fwd_d32_boundmax (round-4 ADVICE:
+    # the code gated at the generic causal 1e-2 while the docstring
+    # promised the boundmax tier)
+    err = gate(out, ref, 2e-3, "fwd_causal_boundmax")
 
     sec = time_fn_chained(
         lambda x: flash_attention_v1(x, kb, vb, config=cfg, causal=True),

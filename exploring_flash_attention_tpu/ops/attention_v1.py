@@ -557,9 +557,19 @@ def _v1_onepass_causal_kernel(
 
     # bound softmax (TileConfig.softmax docstring): K row-norms squared,
     # once per head, shared by every strip.  The per-strip statistic is
-    # the prefix max over the strip's VISIBLE span only — like the exact
-    # row max, it must be bit-exactly invariant to future tokens (the
-    # property the speculative-decode greedy-equivalence gate leans on).
+    # the prefix max over the strip's lane-ALIGNED visible span — shared
+    # by all rows of the strip, so it can include up to STATS_LANES-1
+    # keys past an individual row's position.  Bound-mode causal outputs
+    # are therefore bit-invariant to future tokens only at aligned
+    # strip/lane-group granularity: extending the KV sequence by whole
+    # aligned blocks leaves earlier outputs bitwise unchanged
+    # (tests/test_attention_v1.py misaligned-extension test), but a
+    # per-token extension may re-round rows in the strip that straddles
+    # the old boundary.  EXACT mode is per-token invariant (its masked
+    # band max sees only each row's own visible keys) — anything that
+    # needs per-token bit-invariance (e.g. a per-token greedy-equivalence
+    # gate) must use softmax="exact"; the speculative-decode verifier
+    # extends by whole aligned blocks or runs exact.
     knorm_sq = None
     if softmax == "bound":
         knorm_sq = []
@@ -598,11 +608,13 @@ def _v1_onepass_causal_kernel(
             # needs no mask (every column visible), the band maxes over
             # its masked scores.  A full-strip max would be cheaper and
             # shift-invariant in exact arithmetic, but it makes the f32
-            # rounding depend on FUTURE tokens — causal outputs must be
-            # bit-exactly invariant to them (tests/test_model.py gates
-            # this; speculative greedy equivalence leans on it).  The
-            # bound statistic keeps the same invariance: its K-norm max
-            # covers exactly the visible span.
+            # rounding depend on FUTURE tokens — exact-mode causal
+            # outputs are bit-invariant to them per token (tests/
+            # test_model.py gates this; speculative greedy equivalence
+            # leans on it).  The bound statistic is invariant only at
+            # aligned strip granularity: k_sq_vis spans the lane-ALIGNED
+            # visible range, which can include up to STATS_LANES-1 keys
+            # past a row's own position (see the knorm_sq comment above).
             m = None
             sb_m = None
             if band > 0:
@@ -1613,6 +1625,18 @@ def flash_attention_v1(
     # q block, so this path works at ANY L (the band, not the whole KV,
     # must fit VMEM) — unlike fits_onepass.
     if win_eligible and config.one_pass is not False:
+        if config.softmax == "bound":
+            # round-4 ADVICE: don't silently run the exact kernel when the
+            # caller opted into the bound statistic — the windowed
+            # one-pass kernel does not implement it (its per-strip band
+            # spans make the amortized K-norm pass a different design)
+            import warnings
+
+            warnings.warn(
+                "softmax='bound' is not implemented on the windowed "
+                "one-pass path; running the exact kernel",
+                stacklevel=2,
+            )
         out = _flash_attention_v1_onepass_window(
             qf, kf, vf, scale, window, out_dtype,
             _resolve_interpret(interpret),
@@ -1631,6 +1655,17 @@ def flash_attention_v1(
             and not fits_onepass(lkv, d)):
         span = onepass_span(lkv, d, block_kv)
         if span is not None:
+            if config.softmax == "bound":
+                # round-4 ADVICE: the span-local split-KV pair runs exact
+                # softmax per span; tell the caller instead of silently
+                # misattributing a benchmark to the bound path
+                import warnings
+
+                warnings.warn(
+                    "softmax='bound' is not implemented on the long-KV "
+                    "one-pass split-KV route; running the exact kernels",
+                    stacklevel=2,
+                )
             # local import: attention_v2_splitkv imports helpers from here
             from exploring_flash_attention_tpu.ops.attention_v2_splitkv \
                 import flash_attention_splitkv_partial, splitkv_combine
@@ -1666,8 +1701,11 @@ def flash_attention_v1(
     # bound softmax on the streaming path (_v1_kernel docstring): one XLA
     # pass over K computes per-tile maxima of ||k_j||^2, a cummax makes
     # them prefix maxima, and each q block gets the prefix max over its
-    # VISIBLE tiles (so causal outputs stay bit-invariant to future
-    # tokens).  ~one extra K read of HBM, amortized over the whole kernel.
+    # VISIBLE tiles.  Causal bound outputs are therefore bit-invariant to
+    # future tokens at whole-KV-TILE granularity only (the last visible
+    # tile's max sees the full tile, not each row's prefix of it) —
+    # per-token invariance needs softmax="exact", as on the one-pass
+    # path.  ~one extra K read of HBM, amortized over the whole kernel.
     pk_in = None
     if config.softmax == "bound":
         ksq = jnp.sum(kf.astype(jnp.float32) ** 2, axis=2)  # [n_bh_kv, lkv]

@@ -61,10 +61,14 @@ from exploring_flash_attention_tpu.serving.kv_cache import PagedKVCache
 
 N_BUF = 8          # prefetch window depth (pages in flight)
 
-# The paged kernels DMA whole (2, Hkv, ps, d) pages: on real hardware
-# Mosaic requires the page's last dim to be lane-aligned, so d must be a
-# multiple of 128 (d=64 etc. run under interpret only).  Page size must
-# be a 128 multiple for the same reason (kv_cache.make_cache enforces it).
+# The paged kernels DMA whole (2, Hkv/pack, ps, d*pack) pages: on real
+# hardware Mosaic requires the page's last dim to be lane-aligned, which
+# the cache's head packing guarantees whenever 128 % d == 0 and
+# Hkv % (128/d) == 0 (kv_cache.head_pack_for) — d=64 and d=32 now run on
+# the chip (round 5, VERDICT r4 item 2).  Geometries that cannot pack
+# (e.g. MQA Hkv=1 with d=64) keep head_pack=1 and run interpret-only.
+# Page size must be a 128 multiple for the same reason
+# (kv_cache.make_cache enforces it).
 
 
 def _decode_kernel(
@@ -73,8 +77,8 @@ def _decode_kernel(
     sl_ref,                      # int32 [max_seqs] sequence lengths
     slots_ref,                   # int32 [B] cache slot per batch row
     # tensor inputs
-    q_ref,                       # VMEM (B, Hkv, G, d)
-    kvp_ref,                     # ANY [n_pages, 2, Hkv, ps, d] int8
+    q_ref,                       # VMEM (B, Hkv/pk, pk*G, pk*d) block-diag
+    kvp_ref,                     # ANY [n_pages, 2, Hkv/pk, ps, pk*d] int8
     kvs_ref,                     # ANY [n_pages, 2, Hkv, 1, ps] f32
     # output
     o_ref,                       # VMEM (B, Hkv, G, d)
@@ -82,7 +86,7 @@ def _decode_kernel(
     fpage,                       # SMEM (B * max_pages) work list: page id
     fmeta,                       # SMEM (B * max_pages) seq | last | ntok
     fskip,                       # SMEM (B * max_pages) first visible token
-    kv_buf,                      # VMEM (N_BUF, 2, Hkv, ps, d) int8
+    kv_buf,                      # VMEM (N_BUF, 2, Hkv/pk, ps, pk*d) int8
     sc_buf,                      # VMEM (N_BUF, 2, Hkv, 1, ps) f32
     sems,                        # DMA (2, N_BUF)
     *,
@@ -95,6 +99,7 @@ def _decode_kernel(
     head_dim: int,
     compute_dtype,
     window: Optional[int] = None,
+    head_pack: int = 1,
 ):
     ps = page_size
     # zero-length sequences produce no work-list entries; pre-zero the
@@ -158,22 +163,25 @@ def _decode_kernel(
         meta = fmeta[i]
         seq = meta >> 16
         n_tok = meta & 0x7FFF
-        q = q_ref[seq]                                 # (Hkv, G, d)
+        q = q_ref[seq]                                 # (Hkv/pk, pk*G, pk*d)
 
         # read everything out of the slot BEFORE re-targeting its DMA
         k_scale = sc_buf[slot, 0][:, 0, :]             # (Hkv, ps)
         v_scale = sc_buf[slot, 1][:, 0, :]
-        # per-head scores assembled from per-head MXU dots
+        # per-packed-row scores: q is block-diagonal over the pack, so one
+        # MXU dot against a packed K row yields every packed head's
+        # scores (cross-head lanes hit zeros); rows come out head-major
+        n_hp = num_kv_heads // head_pack
         s_heads = [
             jax.lax.dot_general(
-                q[kh], kv_buf[slot, 0, kh].astype(compute_dtype),
+                q[ph], kv_buf[slot, 0, ph].astype(compute_dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for kh in range(num_kv_heads)
-        ]                                              # each (G, ps)
-        v_heads = [kv_buf[slot, 1, kh].astype(compute_dtype)
-                   for kh in range(num_kv_heads)]
+            for ph in range(n_hp)
+        ]                                              # each (pk*G, ps)
+        v_rows = [kv_buf[slot, 1, ph].astype(compute_dtype)
+                  for ph in range(n_hp)]
 
         # slot fully read — start its next transfer while we compute
         @pl.when(i + N_BUF < n_total)
@@ -200,14 +208,20 @@ def _decode_kernel(
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         p = p * vs_b                                   # fold V scales into P
         p_lp = p.astype(compute_dtype)
+        # packed PV: each packed V row carries pk heads' values side by
+        # side; the accumulator stays PACKED (pk*d lanes, only each
+        # head's own d-slice meaningful) and is sliced once per sequence
+        # at finalize — never in the per-page loop (sub-128-lane slices
+        # are relayouts)
         pv = jnp.concatenate([
             jax.lax.dot_general(
-                p_lp[kh * group:(kh + 1) * group], v_heads[kh],
+                p_lp[ph * head_pack * group:(ph + 1) * head_pack * group],
+                v_rows[ph],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for kh in range(num_kv_heads)
-        ], axis=0)                                     # (Hkv*G, d)
+            for ph in range(n_hp)
+        ], axis=0)                                     # (Hkv*G, pk*d)
         acc = acc * alpha + pv
 
         # sequence boundary: finalize this row and reset the carry
@@ -216,8 +230,17 @@ def _decode_kernel(
         @pl.when(is_last)
         def _finalize():
             denom = jnp.where(l == 0.0, 1.0, l)
-            o_ref[seq] = (acc / denom).reshape(
-                num_kv_heads, group, head_dim).astype(o_ref.dtype)
+            on = acc / denom
+            if head_pack == 1:
+                o_ref[seq] = on.reshape(
+                    num_kv_heads, group, head_dim).astype(o_ref.dtype)
+            else:
+                o_ref[seq] = jnp.stack([
+                    on[kh * group:(kh + 1) * group,
+                       (kh % head_pack) * head_dim:
+                       (kh % head_pack + 1) * head_dim]
+                    for kh in range(num_kv_heads)
+                ], axis=0).astype(o_ref.dtype)
 
         m = jnp.where(is_last, jnp.full_like(m_new, NEG_INF), m_new)
         l = jnp.where(is_last, jnp.zeros_like(l), l)
@@ -226,7 +249,7 @@ def _decode_kernel(
 
     m0 = jnp.full((hg, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((hg, 1), jnp.float32)
-    acc0 = jnp.zeros((hg, head_dim), jnp.float32)
+    acc0 = jnp.zeros((hg, head_dim * head_pack), jnp.float32)
     jax.lax.fori_loop(0, n_total, page_step, (m0, l0, acc0))
 
 
@@ -236,13 +259,13 @@ def _extend_kernel(
     sl_ref,                      # int32 [max_seqs] sequence lengths
     slots_ref,                   # int32 [B] cache slot per batch row
     # tensor inputs
-    q_ref,                       # VMEM (1, Hkv, G*C, d) — this seq's chunk
-    kvp_ref,                     # ANY [n_pages, 2, Hkv, ps, d] int8
+    q_ref,                       # VMEM (1, Hkv/pk, pk*C*G, pk*d) block-diag
+    kvp_ref,                     # ANY [n_pages, 2, Hkv/pk, ps, pk*d] int8
     kvs_ref,                     # ANY [n_pages, 2, Hkv, 1, ps] f32
     # output
     o_ref,                       # VMEM (1, Hkv, G*C, d)
     # scratch
-    kv_buf,                      # VMEM (N_BUF, 2, Hkv, ps, d) int8
+    kv_buf,                      # VMEM (N_BUF, 2, Hkv/pk, ps, pk*d) int8
     sc_buf,                      # VMEM (N_BUF, 2, Hkv, 1, ps) f32
     sems,                        # DMA (2, N_BUF)
     *,
@@ -255,6 +278,7 @@ def _extend_kernel(
     head_dim: int,
     compute_dtype,
     window: Optional[int] = None,
+    head_pack: int = 1,
 ):
     """Chunked-prefill ("extend") attention over the paged INT8 cache.
 
@@ -311,16 +335,25 @@ def _extend_kernel(
         n_tok = jnp.minimum(sl - j * ps, ps)
         k_scale = sc_buf[buf, 0][:, 0, :]              # (Hkv, ps)
         v_scale = sc_buf[buf, 1][:, 0, :]
-        s_heads = [
+        # packed rows (head_pack heads per lane row): one dot per packed
+        # row, then static row-slices recover per-head score blocks
+        n_hp = num_kv_heads // head_pack
+        cg = n_new * group
+        s_packed = [
             jax.lax.dot_general(
-                q_ref[0, kh], kv_buf[buf, 0, kh].astype(compute_dtype),
+                q_ref[0, ph], kv_buf[buf, 0, ph].astype(compute_dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            for ph in range(n_hp)
+        ]                                              # each (pk*C*G, ps)
+        s_heads = [
+            s_packed[kh // head_pack][
+                (kh % head_pack) * cg:(kh % head_pack + 1) * cg]
             for kh in range(num_kv_heads)
         ]                                              # each (C*G, ps)
-        v_heads = [kv_buf[buf, 1, kh].astype(compute_dtype)
-                   for kh in range(num_kv_heads)]
+        v_rows = [kv_buf[buf, 1, ph].astype(compute_dtype)
+                  for ph in range(n_hp)]
 
         @pl.when(j + N_BUF < np_s)
         def _prefetch():
@@ -348,8 +381,10 @@ def _extend_kernel(
             p = jnp.where(jnp.isneginf(sk), 0.0, p)
             l_h = l_h * alpha + jnp.sum(p, axis=1, keepdims=True)
             p = p * v_scale[kh][None, :]
+            # packed accumulator (pk*d lanes; own d-slice extracted once
+            # at finalize, not in the page loop)
             pv = jax.lax.dot_general(
-                p.astype(compute_dtype), v_heads[kh],
+                p.astype(compute_dtype), v_rows[kh // head_pack],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -362,11 +397,20 @@ def _extend_kernel(
 
     m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((rows, 1), jnp.float32)
-    acc0 = jnp.zeros((rows, head_dim), jnp.float32)
+    acc0 = jnp.zeros((rows, head_dim * head_pack), jnp.float32)
     m, l, acc = jax.lax.fori_loop(j0, np_s, page_step, (m0, l0, acc0))
     denom = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / denom).reshape(
-        num_kv_heads, n_new * group, head_dim).astype(o_ref.dtype)
+    on = acc / denom
+    cg_rows = n_new * group
+    if head_pack == 1:
+        o_ref[0] = on.reshape(
+            num_kv_heads, cg_rows, head_dim).astype(o_ref.dtype)
+    else:
+        o_ref[0] = jnp.stack([
+            on[kh * cg_rows:(kh + 1) * cg_rows,
+               (kh % head_pack) * head_dim:(kh % head_pack + 1) * head_dim]
+            for kh in range(num_kv_heads)
+        ], axis=0).astype(o_ref.dtype)
 
 
 # One-pass extend applies when the kernel's whole estimated VMEM working
@@ -399,7 +443,9 @@ def extend_onepass_vmem_bytes(cache, q_dtype) -> int:
     kv_buf = 2 * 2 * cache.num_kv_heads * lmax * d \
         * jnp.dtype(cache.kv_pages.dtype).itemsize
     sc_buf = 2 * 2 * cache.num_kv_heads * lmax * 4
-    per_head = 2 * lmax * d * jnp.dtype(q_dtype).itemsize
+    # one PACKED row's dequantized K/V: head_pack heads share the row,
+    # so the per-iteration live set scales with pack*d
+    per_head = 2 * lmax * d * cache.head_pack * jnp.dtype(q_dtype).itemsize
     strips = 2 * EXTEND_Q_STRIP * lmax * 4
     return kv_buf + sc_buf + per_head + strips
 
@@ -410,13 +456,13 @@ def _extend_onepass_kernel(
     sl_ref,                      # int32 [max_seqs] sequence lengths
     slots_ref,                   # int32 [B] cache slot per batch row
     # tensor inputs
-    q_ref,                       # VMEM (1, Hkv, C*G, d) — this seq's chunk
-    kvp_ref,                     # ANY [n_pages, 2, Hkv, ps, d] int8
+    q_ref,                       # VMEM (1, Hkv/pk, pk*C*G, pk*d) block-diag
+    kvp_ref,                     # ANY [n_pages, 2, Hkv/pk, ps, pk*d] int8
     kvs_ref,                     # ANY [n_pages, 2, Hkv, 1, ps] f32
     # output
     o_ref,                       # VMEM (1, Hkv, C*G, d)
     # scratch
-    kv_buf,                      # VMEM (2, 2, Hkv, max_pages, ps, d) int8
+    kv_buf,                      # VMEM (2, 2, Hkv/pk, max_pages, ps, pk*d)
     sc_buf,                      # VMEM (2, 2, Hkv, max_pages, 1, ps) f32
     sems,                        # DMA (2, 2, max_pages)
     *,
@@ -429,6 +475,7 @@ def _extend_onepass_kernel(
     head_dim: int,
     compute_dtype,
     window: Optional[int] = None,
+    head_pack: int = 1,
 ):
     """One-pass chunked-prefill attention: the whole visible span resident.
 
@@ -517,51 +564,60 @@ def _extend_onepass_kernel(
     # Mosaic keep every head's dequantized K/V copies live at once —
     # measured 20.8 MB of scoped vmem at Hkv=8/ctx=2048, over the 16 MB
     # stack limit; the loop bounds the live set to one head's working set
-    def head_step(kh, _):
-        k_all = kv_buf[db, 0, kh].reshape(lmax, head_dim)
-        v_all = kv_buf[db, 1, kh].reshape(lmax, head_dim).astype(
-            compute_dtype)
-        col_v = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1) + base
-        # fold softmax scale and the exp2 basis into the per-column K
-        # scale: S2 = (q k^T) * (scale * log2e * k_scale[col])
-        k_sc = sc_buf[db, 0, kh].reshape(1, lmax) * (scale * _LOG2E)
-        v_sc = jnp.where(col_v < sl, sc_buf[db, 1, kh].reshape(1, lmax),
-                         0.0)
+    def head_step(ph, _):
+        k_all = kv_buf[db, 0, ph].reshape(lmax, head_dim * head_pack)
+        v_all = kv_buf[db, 1, ph].reshape(
+            lmax, head_dim * head_pack).astype(compute_dtype)
         kb = k_all.astype(compute_dtype)
+        col_v = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1) + base
         # (A bound-softmax variant — replacing the row max with the
         # Cauchy-Schwarz K-norm bound as in ops/attention_v1.py — was
         # measured HERE at 63.8 vs 118.3 TF/s and reverted: the f32
         # K-norm pass over the whole resident span per head upsets the
         # kernel's VMEM/pipeline balance, round-4 A/B via
         # bench/suite.py extend_prefill.)
-        for r0 in range(0, rows_all, EXTEND_Q_STRIP):
-            rr = min(EXTEND_Q_STRIP, rows_all - r0)
-            qs = q_ref[0, kh, r0:r0 + rr, :]
-            s = jax.lax.dot_general(
-                qs, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * k_sc                                      # (rr, lmax)
-            col = jax.lax.broadcasted_iota(jnp.int32, (rr, lmax), 1) + base
-            row_pos = (jax.lax.broadcasted_iota(jnp.int32, (rr, lmax), 0)
-                       + r0) // group + q_start
-            vis = col <= row_pos      # row_pos <= sl-1 implies col < sl
-            if window is not None:
-                vis = jnp.logical_and(vis, col >= row_pos - window + 1)
-            s = jnp.where(vis, s, NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-            p = jnp.exp2(s - m_safe)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                (p * v_sc).astype(compute_dtype), v_all,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            denom = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, kh, r0:r0 + rr, :] = (pv / denom).astype(o_ref.dtype)
+        for s_i in range(head_pack):      # static: true head in the pack
+            kh = ph * head_pack + s_i
+            # fold softmax scale and the exp2 basis into the per-column K
+            # scale: S2 = (q k^T) * (scale * log2e * k_scale[col])
+            k_sc = sc_buf[db, 0, kh].reshape(1, lmax) * (scale * _LOG2E)
+            v_sc = jnp.where(col_v < sl,
+                             sc_buf[db, 1, kh].reshape(1, lmax), 0.0)
+            for r0 in range(0, rows_all, EXTEND_Q_STRIP):
+                rr = min(EXTEND_Q_STRIP, rows_all - r0)
+                qs = q_ref[0, ph,
+                           s_i * rows_all + r0:s_i * rows_all + r0 + rr, :]
+                s = jax.lax.dot_general(
+                    qs, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * k_sc                                  # (rr, lmax)
+                col = (jax.lax.broadcasted_iota(jnp.int32, (rr, lmax), 1)
+                       + base)
+                row_pos = (jax.lax.broadcasted_iota(
+                    jnp.int32, (rr, lmax), 0) + r0) // group + q_start
+                vis = col <= row_pos  # row_pos <= sl-1 implies col < sl
+                if window is not None:
+                    vis = jnp.logical_and(vis, col >= row_pos - window + 1)
+                s = jnp.where(vis, s, NEG_INF)
+                m = jnp.max(s, axis=1, keepdims=True)
+                m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+                p = jnp.exp2(s - m_safe)
+                l = jnp.sum(p, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    (p * v_sc).astype(compute_dtype), v_all,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                         # (rr, pk*d)
+                if head_pack > 1:
+                    # once per strip (not per page): extract this head's
+                    # d-lane slice of the packed PV
+                    pv = pv[:, s_i * head_dim:(s_i + 1) * head_dim]
+                denom = jnp.where(l == 0.0, 1.0, l)
+                o_ref[0, kh, r0:r0 + rr, :] = (
+                    pv / denom).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, num_kv_heads, head_step, 0)
+    jax.lax.fori_loop(0, num_kv_heads // head_pack, head_step, 0)
 
 
 def paged_extend_attention(
@@ -608,10 +664,21 @@ def _paged_extend_attention(
         scale = 1.0 / math.sqrt(d)
     ps = cache.page_size
     max_pages = cache.max_pages_per_seq
+    pk = cache.head_pack
+    hp = hkv // pk
 
     # [B, C, Hkv, G, d] -> [B, Hkv, C*G, d] (row r = chunk pos r//G)
     qg = q.reshape(b, c, hkv, group, d).transpose(0, 2, 1, 3, 4).reshape(
         b, hkv, c * group, d)
+    if pk > 1:
+        # block-diagonal packing: head s of a pack keeps its values in
+        # rows [s*C*G, (s+1)*C*G) and lanes [s*d, (s+1)*d), zeros
+        # elsewhere — one MXU dot against a packed K row then yields all
+        # pk heads' scores with zero cross-terms
+        q5 = qg.reshape(b, hp, pk, c * group, d)
+        qg = jnp.einsum(
+            "bpsrd,st->bpsrtd", q5, jnp.eye(pk, dtype=q.dtype)
+        ).reshape(b, hp, pk * c * group, pk * d)
 
     kernel = functools.partial(
         _extend_onepass_kernel if onepass else _extend_kernel,
@@ -624,16 +691,18 @@ def _paged_extend_attention(
         head_dim=d,
         compute_dtype=q.dtype,
         window=window,
+        head_pack=pk,
     )
     if onepass:
         scratch_shapes = [
-            pltpu.VMEM((2, 2, hkv, max_pages, ps, d), cache.kv_pages.dtype),
+            pltpu.VMEM((2, 2, hp, max_pages, ps, pk * d),
+                       cache.kv_pages.dtype),
             pltpu.VMEM((2, 2, hkv, max_pages, 1, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, max_pages)),
         ]
     else:
         scratch_shapes = [
-            pltpu.VMEM((N_BUF, 2, hkv, ps, d), cache.kv_pages.dtype),
+            pltpu.VMEM((N_BUF, 2, hp, ps, pk * d), cache.kv_pages.dtype),
             pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2, N_BUF)),
         ]
@@ -641,7 +710,7 @@ def _paged_extend_attention(
         num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hkv, c * group, d),
+            pl.BlockSpec((1, hp, pk * c * group, pk * d),
                          lambda i, *refs: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -690,8 +759,16 @@ def paged_decode_attention(
     max_pages = cache.max_pages_per_seq
     if ps > 0x7FFF:
         raise ValueError("page_size must fit the 15-bit ntok meta field")
+    pk = cache.head_pack
+    hp = hkv // pk
 
     qg = q.reshape(b, hkv, group, d)
+    if pk > 1:
+        # block-diagonal packing (see kv_cache.py head-packing note)
+        q5 = qg.reshape(b, hp, pk, group, d)
+        qg = jnp.einsum(
+            "bpsgd,st->bpsgtd", q5, jnp.eye(pk, dtype=q.dtype)
+        ).reshape(b, hp, pk * group, pk * d)
 
     kernel = functools.partial(
         _decode_kernel,
@@ -704,12 +781,14 @@ def paged_decode_attention(
         head_dim=d,
         compute_dtype=q.dtype,
         window=window,
+        head_pack=pk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((b, hkv, group, d), lambda i, *refs: (0, 0, 0, 0)),
+            pl.BlockSpec((b, hp, pk * group, pk * d),
+                         lambda i, *refs: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -720,7 +799,7 @@ def paged_decode_attention(
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
-            pltpu.VMEM((N_BUF, 2, hkv, ps, d), cache.kv_pages.dtype),
+            pltpu.VMEM((N_BUF, 2, hp, ps, pk * d), cache.kv_pages.dtype),
             pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2, N_BUF)),
         ],

@@ -11,10 +11,23 @@ Layout (page-major, K/V packed: ONE page index fetches every KV head's K
 AND V slice in a single contiguous DMA, and both scale vectors in a second
 small one — 2 DMAs per page, where a k/v/k_scale/v_scale split layout costs
 4; decode is DMA-latency-bound so transfer count is the currency):
-    kv_pages  : int8 [n_pages, 2, H_kv, page_size, d]   (0 = K, 1 = V)
+    kv_pages  : int8 [n_pages, 2, H_kv/pack, page_size, d*pack]  (0=K, 1=V)
     kv_scales : f32  [n_pages, 2, H_kv, 1, page_size]
     page_table: int32 [max_seqs, max_pages_per_seq]
     seq_lens  : int32 [max_seqs]
+
+Head packing (round 5): the paged kernels' manual page DMAs require a
+128-lane last dim on real hardware, which shut d=64 — this repo's own
+flagship head size — out of serving (VERDICT r4 item 2).  For d < 128
+with 128 % d == 0 and H_kv % (128/d) == 0, ``head_pack = 128/d``
+consecutive KV heads share one lane row (lanes [s*d, (s+1)*d) hold head
+s of the pack), so the page's last dim is always 128 and the same
+2-DMA-per-page stream serves every head size.  The kernels compute on
+the packed layout directly: Q is pre-packed block-diagonally in the
+wrapper so one MXU dot against a packed K row yields every packed
+head's scores with zero cross-terms (q rows are zero outside their own
+head's lanes).  Scales stay per-true-head.  head_pack == 1 is the
+original layout, bit-for-bit.
 
 Page management (allocator, free list) is host-side Python — the analog of
 the reference drivers' host orchestration; all token writes are functional
@@ -38,19 +51,20 @@ INT8_MAX = 127.0
 
 @dataclasses.dataclass
 class PagedKVCache:
-    kv_pages: jax.Array         # int8 [n_pages, 2, Hkv, page_size, d]
+    kv_pages: jax.Array         # int8 [n_pages, 2, Hkv/pack, page_size, d*pack]
     kv_scales: jax.Array        # f32  [n_pages, 2, Hkv, 1, page_size]
     page_table: jax.Array       # int32 [max_seqs, max_pages]
     seq_lens: jax.Array         # int32 [max_seqs]
     page_size: int
+    head_pack: int = 1          # KV heads sharing one 128-wide lane row
 
     @property
     def num_kv_heads(self) -> int:
-        return self.kv_pages.shape[2]
+        return self.kv_pages.shape[2] * self.head_pack
 
     @property
     def head_dim(self) -> int:
-        return self.kv_pages.shape[4]
+        return self.kv_pages.shape[4] // self.head_pack
 
     @property
     def max_pages_per_seq(self) -> int:
@@ -60,8 +74,20 @@ class PagedKVCache:
 jax.tree_util.register_dataclass(
     PagedKVCache,
     data_fields=["kv_pages", "kv_scales", "page_table", "seq_lens"],
-    meta_fields=["page_size"],
+    meta_fields=["page_size", "head_pack"],
 )
+
+
+def head_pack_for(num_kv_heads: int, head_dim: int) -> int:
+    """Heads per 128-lane row: 1 when d is already lane-aligned, 128/d
+    when the geometry packs evenly, else 1 (such caches stay
+    interpret-only on the paged kernels — e.g. MQA with d=64)."""
+    if head_dim % 128 == 0:
+        return 1
+    pack = 128 // head_dim
+    if pack * head_dim == 128 and num_kv_heads % pack == 0:
+        return pack
+    return 1
 
 
 def make_cache(
@@ -75,14 +101,17 @@ def make_cache(
     if page_size % 128 != 0:
         raise ValueError("page_size must be a multiple of 128 (lane width)")
     max_pages_per_seq = max_pages_per_seq or n_pages
+    pack = head_pack_for(num_kv_heads, head_dim)
     return PagedKVCache(
         kv_pages=jnp.zeros(
-            (n_pages, 2, num_kv_heads, page_size, head_dim), jnp.int8),
+            (n_pages, 2, num_kv_heads // pack, page_size, head_dim * pack),
+            jnp.int8),
         kv_scales=jnp.zeros(
             (n_pages, 2, num_kv_heads, 1, page_size), jnp.float32),
         page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
         seq_lens=jnp.zeros((max_seqs,), jnp.int32),
         page_size=page_size,
+        head_pack=pack,
     )
 
 
@@ -138,6 +167,11 @@ def append_tokens(
     kv = jnp.stack([kq, vq], axis=1)                   # [B, 2, Hkv, d]
     sc = jnp.stack([ks, vs], axis=1)                   # [B, 2, Hkv]
 
+    # head packing: consecutive heads' d-vectors share one 128-lane row —
+    # a plain reshape since the head axis is adjacent to d
+    b, _, hkv, d = kv.shape
+    kv = kv.reshape(b, 2, hkv // cache.head_pack, cache.head_pack * d)
+
     # scatter: pages[page_ids[b], :, h, offset[b], :] = kv[b, :, h, :]
     kv_pages = cache.kv_pages.at[page_ids, :, :, offset, :].set(kv, mode="drop")
     kv_scales = cache.kv_scales.at[page_ids, :, :, 0, offset].set(sc, mode="drop")
@@ -168,7 +202,8 @@ def append_chunks(
 
     kq, ks = _quantize_rows(k_new)                   # [B,C,H,d], [B,C,H]
     vq, vs = _quantize_rows(v_new)
-    kv = jnp.stack([kq, vq], axis=2).reshape(b * c, 2, hkv, d)
+    kv = jnp.stack([kq, vq], axis=2).reshape(
+        b * c, 2, hkv // cache.head_pack, cache.head_pack * d)
     sc = jnp.stack([ks, vs], axis=2).reshape(b * c, 2, hkv)
 
     kv_pages = cache.kv_pages.at[page_ids, :, :, offset, :].set(
@@ -204,6 +239,13 @@ def append_prompt(
         kv = jnp.stack(
             [kq.transpose(1, 0, 2), vq.transpose(1, 0, 2)], axis=0
         )                                              # [2, Hkv, n, d]
+        pk = cache.head_pack
+        if pk > 1:
+            n_, d_ = kv.shape[2], kv.shape[3]
+            # [2, Hkv, n, d] -> [2, Hkv/pk, n, pk*d] (pack heads on lanes)
+            kv = kv.reshape(2, cache.num_kv_heads // pk, pk, n_, d_)
+            kv = kv.transpose(0, 1, 3, 2, 4).reshape(
+                2, cache.num_kv_heads // pk, n_, pk * d_)
         sc = jnp.stack([ks.transpose(1, 0), vs.transpose(1, 0)], axis=0)
         cache = dataclasses.replace(
             cache,
@@ -234,15 +276,19 @@ def append_prompts(
     npg = cdiv(l, ps)
     pad = npg * ps - l
 
+    pk = cache.head_pack
+
     def prep(x):
         xq, xs = _quantize_rows(x)                       # [B,L,H,d],[B,L,H]
         if pad:
             xq = jnp.pad(xq, ((0, 0), (0, pad), (0, 0), (0, 0)))
             xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
-        # [B, npg, Hkv, ps, d] / [B, npg, Hkv, 1, ps]
-        xq = xq.reshape(b, npg, ps, hkv, d).transpose(0, 1, 3, 2, 4)
+        # [B, npg, Hkv/pk, ps, pk*d] / [B, npg, Hkv, 1, ps]
+        xq = xq.reshape(b, npg, ps, hkv // pk, pk, d).transpose(
+            0, 1, 3, 2, 4, 5)
         xs = xs.reshape(b, npg, ps, hkv).transpose(0, 1, 3, 2)[:, :, :, None, :]
-        return xq.reshape(b * npg, hkv, ps, d), xs.reshape(b * npg, hkv, 1, ps)
+        return (xq.reshape(b * npg, hkv // pk, ps, pk * d),
+                xs.reshape(b * npg, hkv, 1, ps))
 
     kq, ks = prep(k_prompts)
     vq, vs = prep(v_prompts)
@@ -280,8 +326,14 @@ def gather_kv(
     l = int(cache.seq_lens[seq_id])
     n_pages = cdiv(l, cache.page_size)
     ids = np.asarray(cache.page_table[seq_id, :n_pages])
-    kv = jnp.asarray(cache.kv_pages)[ids]              # [np, 2, H, ps, d]
-    sc = jnp.asarray(cache.kv_scales)[ids]             # [np, 2, H, 1, ps]
+    kv = jnp.asarray(cache.kv_pages)[ids]       # [np, 2, H/pk, ps, pk*d]
+    sc = jnp.asarray(cache.kv_scales)[ids]      # [np, 2, H, 1, ps]
+    pk = cache.head_pack
+    if pk > 1:
+        npg_, _, hp, ps_, dl = kv.shape
+        # unpack lanes back to per-head [np, 2, H, ps, d]
+        kv = kv.reshape(npg_, 2, hp, ps_, pk, dl // pk).transpose(
+            0, 1, 2, 4, 3, 5).reshape(npg_, 2, hp * pk, ps_, dl // pk)
     kv = kv.astype(jnp.float32) * sc.transpose(0, 1, 2, 4, 3)
     npg, _, h, ps, d = kv.shape
     # [np, 2, H, ps, d] -> [2, H, np*ps, d]

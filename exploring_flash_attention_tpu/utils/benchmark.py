@@ -109,15 +109,29 @@ def time_fn_chained_windows(
     # on the ~0.12 ms extend step, where differencing two nearly-constant
     # calls went NEGATIVE).  Refine per-iter by differencing and stretch
     # the chain so the differenced device time itself spans the target.
-    t_long = min(timed(run_long) for _ in range(2))
-    if t_long - t_short < 0.5 * target_long_sec and n_long < 4096:
-        per_iter = max(t_long - t_short, 1e-9) / (n_long - n_short)
-        n_better = min(4096, max(n_long * 2,
-                                 int(target_long_sec / per_iter)))
-        if n_better > n_long:
-            n_long = n_better
-            run_long = chain(n_long)
-            float(run_long(x0, *extra))     # compile + warm
+    # Bounded refinement: a non-positive difference means the chain is
+    # still fully dispatch-dominated and carries no per-iter signal, so
+    # grow geometrically (4x) and RE-measure rather than jumping straight
+    # to a 4096-call unrolled chain (round-4 ADVICE).  Requires
+    # n_long > n_short — equal chain lengths cannot be differenced.
+    for _ in range(4):
+        if n_long <= n_short or n_long >= 4096:
+            break
+        t_long = min(timed(run_long) for _ in range(2))
+        diff = t_long - t_short
+        if diff >= 0.5 * target_long_sec:
+            break
+        if diff > 0:
+            per_iter = diff / (n_long - n_short)
+            n_better = min(4096, max(n_long * 2,
+                                     int(target_long_sec / per_iter)))
+        else:
+            n_better = min(4096, n_long * 4)
+        if n_better <= n_long:
+            break
+        n_long = n_better
+        run_long = chain(n_long)
+        float(run_long(x0, *extra))         # compile + warm
 
     out = []
     for _ in range(windows):

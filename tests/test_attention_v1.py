@@ -549,3 +549,52 @@ def test_v1_bound_softmax_streaming_window():
     out = run_v1(q, k, v, config=cfg, causal=True, window=100)
     ref = naive_attention(q, k, v, causal=True, window=100)
     assert error_stats(out, ref)["max_abs"] < 2e-5
+
+
+def test_v1_softmax_invariance_granularity_misaligned():
+    """Round-4 ADVICE (medium): pin down the true invariance granularity
+    with a MISALIGNED extension under block_kv > block_q.
+
+    - exact mode: causal outputs are bit-invariant to future tokens at
+      PER-TOKEN granularity — any extension, aligned or not, leaves the
+      prefix bitwise unchanged (the masked band max sees only each row's
+      own visible keys);
+    - bound mode: invariant only at aligned block/strip granularity —
+      extending by whole KV tiles is bitwise safe, but a sub-tile
+      extension may re-round rows in the straddling block (the shared
+      prefix-kmax covers the whole lane-aligned tile).  The sub-tile
+      case must still be numerically correct vs the oracle."""
+    import jax
+
+    lq = 256
+    ext_tok = 128            # < block_kv: misaligned vs the 256 KV tiles
+    q, k, v = make_qkv(1, 2, lq, 64, dtype=np.float32, seed=12)
+    ext = [np.asarray(jax.random.normal(jax.random.PRNGKey(90 + i),
+                                        (1, 2, ext_tok, 64)), np.float32)
+           for i in range(3)]
+    q2 = np.concatenate([q, ext[0]], 2)
+    k2 = np.concatenate([k, ext[1]], 2)
+    v2 = np.concatenate([v, ext[2]], 2)
+
+    # exact, streaming, block_kv > block_q: per-token invariance
+    cfg_exact = TileConfig(block_q=128, block_kv=256, one_pass=False)
+    out = run_v1(q, k, v, config=cfg_exact, causal=True)
+    out2 = run_v1(q2, k2, v2, config=cfg_exact, causal=True)
+    np.testing.assert_array_equal(out2[:, :, :lq], out)
+
+    # bound, same geometry: sub-tile extension stays CORRECT...
+    cfg_bound = TileConfig(block_q=128, block_kv=256, one_pass=False,
+                           softmax="bound")
+    outb2 = run_v1(q2, k2, v2, config=cfg_bound, causal=True)
+    ref2 = naive_attention(q2, k2, v2, causal=True)
+    assert error_stats(outb2, ref2)["max_abs"] < 2e-5
+    # ...and extension by a WHOLE KV tile is bitwise invariant
+    ext_full = [np.asarray(jax.random.normal(jax.random.PRNGKey(80 + i),
+                                             (1, 2, 256, 64)), np.float32)
+                for i in range(3)]
+    outb = run_v1(q, k, v, config=cfg_bound, causal=True)
+    outb3 = run_v1(np.concatenate([q, ext_full[0]], 2),
+                   np.concatenate([k, ext_full[1]], 2),
+                   np.concatenate([v, ext_full[2]], 2),
+                   config=cfg_bound, causal=True)
+    np.testing.assert_array_equal(outb3[:, :, :lq], outb)

@@ -142,3 +142,91 @@ def test_kernels_match_jax_dpa_bf16():
     # both sides round storage to bf16; agreement at the 1e-2 tier of the
     # reference's fp16 checks (common/reference.py max_abs_tol)
     assert err < 1e-2, err
+
+
+def test_window_and_kvquant_match_jax_dpa():
+    """External-referee coverage for the remaining kernel families
+    (VERDICT r4 item 4): sliding-window attention vs jax.nn's
+    local_window_size, and the quantized-KV kernel vs jax.nn run on the
+    DEQUANTIZED operands — both referee against an implementation this
+    repo did not write.  Note: jax.nn's is_causal aligns the diagonal
+    top-left for L_q != L_kv while this repo (like decode-style flash
+    kernels) aligns bottom-right, so cross-length causal referees pass an
+    explicit bottom-right mask instead of is_causal."""
+    import jax
+    import jax.numpy as jnp
+
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import (
+        flash_attention_kvquant,
+        flash_attention_v1,
+    )
+    from exploring_flash_attention_tpu.ops.quant import (
+        dequantize, quantize_int8,
+    )
+
+    def jnn(q, k, v, **kw):
+        return jax.nn.dot_product_attention(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2), **kw
+        ).swapaxes(1, 2)
+
+    # sliding window, f32: window=w here means "last w positions incl."
+    # == jax.nn local_window_size (w-1, 0) under is_causal
+    q, k, v = make_qkv(2, 2, 256, 64, dtype=np.float32, seed=31)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    ref = jnn(qj, kj, vj, is_causal=True, local_window_size=(63, 0))
+    out = flash_attention_v1(
+        qj, kj, vj, config=TileConfig(block_q=64, block_kv=64),
+        causal=True, window=64,
+    )
+    err = error_stats(np.asarray(out), np.asarray(ref))["max_abs"]
+    assert err < 1e-5, err
+
+    # bottom-right cross-length causal via explicit mask (convention
+    # check: the jax.nn referee agrees once given this repo's mask)
+    qc, kc, vc = make_qkv(2, 2, 128, 64, dtype=np.float32, seed=32)
+    kc2, vc2 = kc[:, :, :], vc[:, :, :]
+    qshort = jnp.asarray(qc[:, :, :64])
+    lq, lkv = 64, 128
+    row = np.arange(lq)[:, None]
+    col = np.arange(lkv)[None, :]
+    mask = jnp.asarray(col <= row + (lkv - lq))
+    ref = jnn(qshort, jnp.asarray(kc2), jnp.asarray(vc2),
+              mask=mask[None, None])
+    out = flash_attention_v1(
+        qshort, jnp.asarray(kc2), jnp.asarray(vc2),
+        config=TileConfig(block_q=64, block_kv=64), causal=True,
+    )
+    err = error_stats(np.asarray(out), np.asarray(ref))["max_abs"]
+    assert err < 1e-5, err
+
+    # kvquant int8: referee = jax.nn on the dequantized K/V
+    kq = quantize_int8(jnp.asarray(k), block=128)
+    vq = quantize_int8(jnp.asarray(v), block=128)
+    ref = jnn(qj, dequantize(kq), dequantize(vq))
+    out = flash_attention_kvquant(
+        qj, kq, vq, config=TileConfig(128, 128), out_dtype=jnp.float32,
+    )
+    err = error_stats(np.asarray(out), np.asarray(ref))["max_abs"]
+    assert err < 2e-5, err
+
+
+def test_gqa_matches_jax_dpa():
+    """GQA grouping vs jax.nn.dot_product_attention's native grouped
+    heads (independent of this repo's repeat-free BlockSpec routing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+
+    q, _, _ = make_qkv(2, 8, 128, 64, dtype=np.float32, seed=33)
+    _, k, v = make_qkv(2, 2, 128, 64, dtype=np.float32, seed=34)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    ref = jax.nn.dot_product_attention(
+        qj.swapaxes(1, 2), kj.swapaxes(1, 2), vj.swapaxes(1, 2),
+    ).swapaxes(1, 2)
+    out = flash_attention_v1(
+        qj, kj, vj, config=TileConfig(block_q=64, block_kv=64))
+    err = error_stats(np.asarray(out), np.asarray(ref))["max_abs"]
+    assert err < 1e-5, err
