@@ -424,6 +424,154 @@ def bench_decode_tokens():
          f"{sec_w*1e6:.1f} us/step, B={bsz}, ctx={ctx}, w=512 int8 pages")
 
 
+def bench_scheduler_e2e():
+    """Continuous-batching scheduler under churn (VERDICT r4 item 3):
+    48 requests with mixed prompt lengths (256..2048) and output lengths
+    (64..192) contend for 16 slots with staggered arrivals; sustained
+    generated tokens/s over the whole run (admissions, prefills, retire
+    bookkeeping included) vs the raw decode-kernel floor at the
+    steady-state geometry.  Steps run ``sync=False`` so the device queue
+    stays full; one final device sync closes the measurement."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.serving.kv_cache import (
+        PageAllocator, append_prompt, gather_kv, make_cache,
+    )
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_decode_attention,
+    )
+    from exploring_flash_attention_tpu.serving.scheduler import (
+        ContinuousBatchingScheduler, Request,
+    )
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+
+    hq, hkv, d = 8, 8, 128
+    page_size = 256
+    rng = np.random.default_rng(0)
+
+    # ---- accuracy gate: one scheduler step vs the dequantized oracle ----
+    gs = ContinuousBatchingScheduler(
+        num_q_heads=hq, num_kv_heads=hkv, head_dim=d, n_pages=8,
+        page_size=page_size, max_seqs=2)
+    lq = 256
+    kp = jnp.asarray(rng.standard_normal((lq, hkv, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((lq, hkv, d)), jnp.float32)
+    qs = jnp.asarray(rng.standard_normal((hq, d)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((hkv, d)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((hkv, d)), jnp.float32)
+    gs.submit(Request(rid=0, prompt_k=kp, prompt_v=vp, max_new_tokens=2,
+                      step_inputs=lambda i: (qs, ks, vs)))
+    (rid, out0), = gs.step()
+    kd, vd = gather_kv(gs.cache, 0)
+    ref = naive_attention(
+        np.asarray(qs)[:, None, :],
+        np.repeat(np.asarray(kd), hq // hkv, 0),
+        np.repeat(np.asarray(vd), hq // hkv, 0))[:, 0, :]
+    err = gate(out0, ref, 2e-2, "scheduler_e2e")
+
+    # ---- raw-kernel floor at the steady-state geometry ----
+    bsz_f, ctx_f = 16, 1280
+    pages_per_seq = ctx_f // page_size
+    fcache = make_cache(hkv, d, n_pages=bsz_f * pages_per_seq,
+                        page_size=page_size, max_seqs=bsz_f,
+                        max_pages_per_seq=pages_per_seq)
+    falloc = PageAllocator(bsz_f * pages_per_seq)
+    for s in range(bsz_f):
+        pages = falloc.alloc(pages_per_seq)
+        fcache = _dc.replace(
+            fcache, page_table=fcache.page_table.at[s, :pages_per_seq].set(
+                jnp.asarray(pages, jnp.int32)))
+        fcache = append_prompt(
+            fcache, s,
+            jnp.asarray(rng.standard_normal((ctx_f, hkv, d)), jnp.float32),
+            jnp.asarray(rng.standard_normal((ctx_f, hkv, d)), jnp.float32))
+    slots_f = jnp.arange(bsz_f, dtype=jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((bsz_f, hq, d)), jnp.bfloat16)
+    from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
+    sec_f = time_fn_chained(
+        lambda x: paged_decode_attention(x, fcache, slots_f), q0,
+        n_long=128, n_short=16)
+    floor_tps = bsz_f / sec_f
+
+    # ---- the churn run ----
+    n_req = 48
+    max_seqs = 16
+    prompt_lens = [256, 512, 1024, 2048]
+    out_lens = [64, 128, 192]
+    total_pages = 0
+    reqs = []
+    for r in range(n_req):
+        pl_ = prompt_lens[r % len(prompt_lens)]
+        ol = out_lens[r % len(out_lens)]
+        kp = jnp.asarray(rng.standard_normal((pl_, hkv, d)), jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((pl_, hkv, d)), jnp.bfloat16)
+        q1 = jnp.asarray(rng.standard_normal((hq, d)), jnp.bfloat16)
+        k1 = jnp.asarray(rng.standard_normal((hkv, d)), jnp.bfloat16)
+        v1 = jnp.asarray(rng.standard_normal((hkv, d)), jnp.bfloat16)
+        reqs.append(Request(
+            rid=r, prompt_k=kp, prompt_v=vp, max_new_tokens=ol,
+            step_inputs=lambda i, q1=q1, k1=k1, v1=v1: (q1, k1, v1)))
+        total_pages += -(-(pl_ + ol) // page_size)
+
+    sched = ContinuousBatchingScheduler(
+        num_q_heads=hq, num_kv_heads=hkv, head_dim=d,
+        n_pages=16 * (2048 + 192 + page_size - 1) // page_size + 32,
+        page_size=page_size, max_seqs=max_seqs,
+        max_pages_per_seq=(2048 + 192 + page_size) // page_size)
+    # per-dispatch floor of THIS environment: the axon tunnel charges a
+    # host->device round trip per jitted call that a local TPU host does
+    # not; measure it so the note can separate tunnel RTT from scheduler
+    # cost
+    import jax
+    trivial = jax.jit(lambda x: x + 1)
+    xd = jnp.zeros((8, 128), jnp.float32)
+    xd = trivial(xd); np.asarray(xd)           # compile + warm
+    t0 = time.time()
+    n_disp = 200
+    for _ in range(n_disp):
+        xd = trivial(xd)
+    np.asarray(xd)
+    rtt_us = (time.time() - t0) / n_disp * 1e6
+
+    # staggered arrivals: 16 up front, 4 more every 8 steps
+    arrival, steps, total_tokens = 16, 0, 0
+    for r in range(arrival):
+        sched.submit(reqs[r])
+    # warm the single fused-step compile outside the timed region
+    rids, out = sched.step(sync=False)
+    np.asarray(out)
+    total_tokens += len(rids)
+    steps += 1
+    t0 = time.time()
+    last_out = None
+    while sched.pending or sched.active or arrival < n_req:
+        if steps % 8 == 0 and arrival < n_req:
+            for r in range(arrival, min(arrival + 4, n_req)):
+                sched.submit(reqs[r])
+            arrival = min(arrival + 4, n_req)
+        rids, out = sched.step(sync=False)
+        if out is not None:
+            last_out = out
+            total_tokens += len(rids)
+        steps += 1
+        if steps > 5000:
+            raise RuntimeError("scheduler churn run did not converge")
+    np.asarray(last_out)                        # final device sync
+    wall = time.time() - t0
+    tps = total_tokens / wall
+    step_us = wall / max(steps - 1, 1) * 1e6
+    dev_us = bsz_f / floor_tps * 1e6
+    host_us = max(step_us - rtt_us - dev_us, 0.0)
+    emit("serving_scheduler_tokens_per_sec", tps, "tokens/s", None,
+         f"{total_tokens} tokens / {steps} steps over {wall:.2f}s under "
+         f"churn (48 reqs, prompts 256-2048, outs 64-192, 16 slots, "
+         f"staggered arrivals, prefills+bookkeeping included, ONE fused "
+         f"dispatch/step at fixed capacity); step {step_us:.0f} us = "
+         f"tunnel RTT {rtt_us:.0f} + kernel {dev_us:.0f} (floor "
+         f"{floor_tps:.0f} tok/s @B=16/ctx=1280) + scheduler host "
+         f"{host_us:.0f}; gate {err:.1e} (int8-cache tier)")
+
+
 def bench_extend_prefill():
     """Chunked-prefill (extend) attention over the paged INT8 cache:
     C=256 new tokens per sequence attending over 2048 cached tokens,
@@ -1031,6 +1179,7 @@ ALL = {
     "kvquant_int8": bench_kvquant_int8,
     "int8_qkv": bench_int8_qkv,
     "decode_tokens": bench_decode_tokens,
+    "scheduler_e2e": bench_scheduler_e2e,
     "extend_prefill": bench_extend_prefill,
     "generate_e2e": bench_generate_e2e,
     "spec_decode": bench_spec_decode,

@@ -156,11 +156,21 @@ def append_tokens(
     """Functionally append one token per sequence (quantize + scatter).
 
     Pages must already be mapped in the page table (the scheduler allocates
-    them); positions come from ``cache.seq_lens``."""
-    pos = cache.seq_lens[seq_ids]                      # [B]
+    them); positions come from ``cache.seq_lens``.
+
+    Rows whose ``seq_ids`` are OUT OF RANGE (>= max_seqs) are dropped
+    entirely — no page write, no length bump.  The fixed-capacity
+    scheduler uses this to pad its batch to a constant size (one compile)
+    with inert rows."""
+    n_slots = cache.seq_lens.shape[0]
+    safe_ids = jnp.clip(seq_ids, 0, n_slots - 1)
+    pos = cache.seq_lens[safe_ids]                     # [B]
     page_idx_in_seq = pos // cache.page_size
     offset = pos % cache.page_size
-    page_ids = cache.page_table[seq_ids, page_idx_in_seq]  # [B]
+    page_ids = cache.page_table[safe_ids, page_idx_in_seq]  # [B]
+    valid = seq_ids < n_slots
+    # invalid rows target a page index past the cache: mode="drop" elides
+    page_ids = jnp.where(valid, page_ids, cache.kv_pages.shape[0])
 
     kq, ks = _quantize_rows(k_new)                     # [B,Hkv,d], [B,Hkv]
     vq, vs = _quantize_rows(v_new)
@@ -221,19 +231,30 @@ def append_prompt(
     seq_id: int,
     k_prompt: jax.Array,         # [L, Hkv, d]
     v_prompt: jax.Array,
+    start: Optional[int] = None,
+    page_ids: Optional[List[int]] = None,
 ) -> PagedKVCache:
     """Bulk-append a prompt's K/V (prefill path).  Host loop over pages;
-    each page written with one functional update."""
+    each page written with one functional update.  ``start`` (the write
+    position) defaults to the device-side ``seq_lens[seq_id]`` — pass it
+    explicitly (e.g. 0 for a freshly reset slot) to avoid that device
+    pull.  ``page_ids`` (the slot's mapped pages, host-side) likewise
+    skips the per-page ``int(page_table[...])`` pull — the scheduler's
+    allocator already knows them (measured ~28 ms tunnel RTT per pull,
+    round-5 scheduler-throughput work)."""
     l = k_prompt.shape[0]
     ps = cache.page_size
-    start = int(cache.seq_lens[seq_id])
+    if start is None:
+        start = int(cache.seq_lens[seq_id])
     if start % ps != 0:
         raise ValueError("prompt append must start on a page boundary")
     for p0 in range(0, l, ps):
         chunk_k = k_prompt[p0:p0 + ps]
         chunk_v = v_prompt[p0:p0 + ps]
         n = chunk_k.shape[0]
-        page_id = int(cache.page_table[seq_id, (start + p0) // ps])
+        pidx = (start + p0) // ps
+        page_id = (page_ids[pidx] if page_ids is not None
+                   else int(cache.page_table[seq_id, pidx]))
         kq, ks = _quantize_rows(chunk_k)               # [n,Hkv,d],[n,Hkv]
         vq, vs = _quantize_rows(chunk_v)
         kv = jnp.stack(
@@ -264,13 +285,22 @@ def append_prompts(
     seq_ids: jax.Array,          # int32 [B] cache slots (page tables mapped)
     k_prompts: jax.Array,        # [B, L, Hkv, d] — same L for the batch
     v_prompts: jax.Array,
+    page_ids: Optional[jax.Array] = None,   # int32 [B, ceil(L/ps)]
 ) -> PagedKVCache:
     """Batched prefill append: quantize + scatter every sequence's prompt
     K/V in one jitted call (the per-seq :func:`append_prompt` host loop
     costs one device sync per call — this is the serving-path version).
 
     Sequences must be empty (prompts start at position 0); ragged final
-    pages are zero-padded (the decode kernel masks past ``seq_lens``)."""
+    pages are zero-padded (the decode kernel masks past ``seq_lens``).
+
+    ``page_ids`` — the destination pages, when the caller (scheduler
+    allocator) already knows them host-side.  Passing them matters far
+    beyond the avoided lookup: a page-granular scatter whose indices come
+    from a page-TABLE GATHER lowers pathologically on this backend
+    (measured 135-144 ms vs 3.9 ms with argument indices at L=2048,
+    round-5 scheduler-throughput work; an optimization_barrier does not
+    break the pattern)."""
     b, l, hkv, d = k_prompts.shape
     ps = cache.page_size
     npg = cdiv(l, ps)
@@ -294,7 +324,9 @@ def append_prompts(
     vq, vs = prep(v_prompts)
     kv = jnp.stack([kq, vq], axis=1)                   # [B*npg, 2, Hkv, ps, d]
     sc = jnp.stack([ks, vs], axis=1)                   # [B*npg, 2, Hkv, 1, ps]
-    page_ids = cache.page_table[seq_ids, :npg].reshape(-1)   # [B*npg]
+    if page_ids is None:
+        page_ids = cache.page_table[seq_ids, :npg]
+    page_ids = page_ids.reshape(-1)                    # [B*npg]
     return dataclasses.replace(
         cache,
         kv_pages=cache.kv_pages.at[page_ids].set(kv, mode="drop"),

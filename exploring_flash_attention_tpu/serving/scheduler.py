@@ -16,6 +16,7 @@ that up; tests drive it with seeded tensors).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional, Tuple
 
@@ -28,13 +29,30 @@ from exploring_flash_attention_tpu.serving.decode import paged_decode_attention
 from exploring_flash_attention_tpu.serving.kv_cache import (
     PagedKVCache,
     PageAllocator,
-    append_prompt,
+    append_prompts,
     append_tokens,
     make_cache,
 )
 
 # step_idx -> (q [Hq,d], k_new [Hkv,d], v_new [Hkv,d])
 StepInputFn = Callable[[int], Tuple[jax.Array, jax.Array, jax.Array]]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=0)
+def _fused_step(cache, qs, ks, vs, append_ids, decode_slots, interpret):
+    """One decode step as ONE device dispatch: stack the per-sequence
+    inputs, append this step's K/V, attend over the paged history.
+    The batch is always the scheduler's full capacity (pad rows append
+    via out-of-range ids — dropped — and decode against the permanently
+    empty pad slot), so this traces and compiles exactly once; the cache
+    is donated so the update is in-place."""
+    q_b = jnp.stack(qs)
+    k_b = jnp.stack(ks)
+    v_b = jnp.stack(vs)
+    cache = append_tokens(cache, append_ids, k_b, v_b)
+    out = paged_decode_attention(q_b, cache, decode_slots,
+                                 interpret=interpret)
+    return cache, out
 
 
 @dataclasses.dataclass
@@ -67,9 +85,14 @@ class ContinuousBatchingScheduler:
         interpret: Optional[bool] = None,
     ):
         self.num_q_heads = num_q_heads
+        # one extra slot beyond capacity: the permanently-empty PAD slot
+        # that fixed-capacity steps point their inactive rows at (its
+        # length stays 0, so the decode kernel emits zeros for them)
+        self.capacity = max_seqs
+        self.pad_slot = max_seqs
         self.cache = make_cache(
             num_kv_heads, head_dim, n_pages, page_size,
-            max_seqs=max_seqs, max_pages_per_seq=max_pages_per_seq,
+            max_seqs=max_seqs + 1, max_pages_per_seq=max_pages_per_seq,
         )
         self.allocator = PageAllocator(n_pages)
         self.free_slots: Deque[int] = deque(range(max_seqs))
@@ -77,6 +100,12 @@ class ContinuousBatchingScheduler:
         self.active: Dict[int, _Active] = {}
         self.interpret = interpret
         self.completed: Dict[int, int] = {}      # rid -> tokens generated
+        self._dummy = None                       # cached pad-row tensors
+        # device copies of the slot-id arrays, re-uploaded only when the
+        # batch composition changes (a per-step host->device put costs a
+        # full tunnel round trip — measured 2 x ~28 ms/step)
+        self._slot_key: Optional[Tuple[int, ...]] = None
+        self._slot_dev = None
 
     # ---------------- submission / admission ----------------
 
@@ -99,38 +128,70 @@ class ContinuousBatchingScheduler:
         return cdiv(total, self.cache.page_size)
 
     def _try_admit(self) -> None:
+        admitted: List[Tuple[Request, int, List[int]]] = []
         while self.pending:
             req = self.pending[0]
             need = self._pages_needed(req)
             if not self.free_slots or need > self.allocator.free_pages:
-                return
+                break
             self.pending.popleft()
             slot = self.free_slots.popleft()
             pages = self.allocator.alloc(need)
-            # map pages + reset the slot
-            pt = self.cache.page_table
-            pt = pt.at[slot, :].set(0)
-            pt = pt.at[slot, : len(pages)].set(jnp.asarray(pages, jnp.int32))
-            self.cache = dataclasses.replace(
-                self.cache,
-                page_table=pt,
-                seq_lens=self.cache.seq_lens.at[slot].set(0),
-            )
-            # prefill: quantize + write the prompt K/V
-            self.cache = append_prompt(
-                self.cache, slot, req.prompt_k, req.prompt_v
+            admitted.append((req, slot, pages))
+        if not admitted:
+            return
+        # ONE batched page-table/length update for every admission this
+        # step, padded to FIXED capacity shape with out-of-range ids
+        # (mode="drop").  Shape-canonical matters more than batching
+        # here: each new admitted-count shape costs a fresh compile, and
+        # a remote compile through the tunnel measured ~4.3 s — five
+        # distinct counts were 22 of the churn benchmark's 27 s.
+        mp = self.cache.max_pages_per_seq
+        rows = np.zeros((self.capacity, mp), np.int32)
+        slot_ids = np.full(self.capacity, self.pad_slot + 1, np.int32)
+        for i, (_, slot, pages) in enumerate(admitted):
+            rows[i, : len(pages)] = pages
+            slot_ids[i] = slot
+        ids = jnp.asarray(slot_ids)
+        self.cache = dataclasses.replace(
+            self.cache,
+            page_table=self.cache.page_table.at[ids].set(
+                jnp.asarray(rows), mode="drop"),
+            seq_lens=self.cache.seq_lens.at[ids].set(0, mode="drop"),
+        )
+        for req, slot, pages in admitted:
+            # prefill through the JITTED batched append (B=1): one
+            # donated-cache dispatch per admission, retraced per distinct
+            # prompt length.  The eager per-page host loop
+            # (kv_cache.append_prompt) measured 659 ms for a 2048-token
+            # prompt through the tunnel — each un-donated page write
+            # copies the whole cache — and the allocator's page ids are
+            # passed host-side (a table-gather-fed scatter lowers ~37x
+            # slower; see append_prompts docstring).
+            npg = cdiv(req.prompt_k.shape[0], self.cache.page_size)
+            self.cache = append_prompts(
+                self.cache, jnp.asarray([slot], jnp.int32),
+                req.prompt_k[None], req.prompt_v[None],
+                jnp.asarray(pages[:npg], jnp.int32)[None],
             )
             self.active[slot] = _Active(req=req, slot=slot, pages=pages)
 
     # ---------------- decode step ----------------
 
-    def step(self) -> List[Tuple[int, np.ndarray]]:
+    def step(self, sync: bool = True) -> List[Tuple[int, np.ndarray]]:
         """Admit what fits, run one batched decode step, retire finished.
 
-        Returns [(rid, attention_output [Hq, d])] for this step."""
+        Returns [(rid, attention_output [Hq, d])] for this step.
+
+        ``sync=False`` returns ``(rids, out)`` with ``out`` the DEVICE
+        array instead — no per-step host round-trip, so consecutive
+        steps enqueue asynchronously and the device stays busy (the
+        round-4 VERDICT item 3 fix: the per-token ``np.asarray`` sync
+        serialized every step against the host).  Retirement bookkeeping
+        does not depend on the output values, so it proceeds either way."""
         self._try_admit()
         if not self.active:
-            return []
+            return [] if sync else ([], None)
 
         slots = sorted(self.active.keys())
         qs, ks, vs = [], [], []
@@ -140,26 +201,46 @@ class ContinuousBatchingScheduler:
             qs.append(q)
             ks.append(k_new)
             vs.append(v_new)
-        q_b = jnp.stack(qs)                     # [B, Hq, d]
-        k_b = jnp.stack(ks)                     # [B, Hkv, d]
-        v_b = jnp.stack(vs)
-        slot_ids = jnp.asarray(slots, jnp.int32)
-
-        # write this step's K/V, then attend over the full history
-        self.cache = append_tokens(self.cache, slot_ids, k_b, v_b)
-        out = paged_decode_attention(
-            q_b, self.cache, slot_ids, interpret=self.interpret
+        # pad to fixed capacity so the fused step compiles ONCE: pad rows
+        # append through an out-of-range id (dropped) and decode against
+        # the empty pad slot (zeros out)
+        if self._dummy is None:
+            self._dummy = (jnp.zeros_like(qs[0]), jnp.zeros_like(ks[0]),
+                           jnp.zeros_like(vs[0]))
+        n_act = len(slots)
+        dq, dk, dv = self._dummy
+        qs += [dq] * (self.capacity - n_act)
+        ks += [dk] * (self.capacity - n_act)
+        vs += [dv] * (self.capacity - n_act)
+        key = tuple(slots)
+        if key != self._slot_key:
+            append_ids = np.full(self.capacity, self.pad_slot + 1, np.int32)
+            append_ids[:n_act] = slots           # oob => dropped append
+            decode_slots = np.full(self.capacity, self.pad_slot, np.int32)
+            decode_slots[:n_act] = slots
+            self._slot_key = key
+            self._slot_dev = (jnp.asarray(append_ids),
+                              jnp.asarray(decode_slots))
+        # ONE fused dispatch: stack + K/V append + paged attention
+        # (three separate dispatches measured 125 ms/step through the
+        # axon tunnel — per-call RTT, not device time)
+        self.cache, out = _fused_step(
+            self.cache, tuple(qs), tuple(ks), tuple(vs),
+            *self._slot_dev,
+            interpret=self.interpret,
         )
-        out_np = np.asarray(out)
 
-        results = []
-        for i, s in enumerate(slots):
+        rids = []
+        for s in slots:
             a = self.active[s]
             a.tokens_done += 1
-            results.append((a.req.rid, out_np[i]))
+            rids.append(a.req.rid)
             if a.tokens_done >= a.req.max_new_tokens:
                 self._retire(s)
-        return results
+        if not sync:
+            return rids, out
+        out_np = np.asarray(out)
+        return [(rid, out_np[i]) for i, rid in enumerate(rids)]
 
     def _retire(self, slot: int) -> None:
         a = self.active.pop(slot)
