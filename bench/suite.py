@@ -1066,9 +1066,18 @@ def bench_spec_decode():
         vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
         d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
     )
+    # legs 1-2 (worst-case + ceiling) keep the round-4 wide paged
+    # draft; the distilled leg uses a TINY draft (1 layer, d_model 256,
+    # MQA) in draft_mode="dense" — a rolling dense-window KV in the
+    # jitted loop's carry instead of paged kernels, so its step cost is
+    # a handful of fused einsums (models/speculative.py module note)
     dcfg = ModelConfig(
         vocab_size=32768, n_layers=1, n_heads=8, n_kv_heads=4,
         d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
+    )
+    dcfg_tiny = ModelConfig(
+        vocab_size=32768, n_layers=1, n_heads=2, n_kv_heads=1,
+        d_model=256, d_head=128, d_ff=1024, dtype=jnp.bfloat16, tile=tile,
     )
     tparams = init_params(tcfg, seed=0)
     dparams = init_params(dcfg, seed=7)
@@ -1093,22 +1102,30 @@ def bench_spec_decode():
     import jax
     from exploring_flash_attention_tpu.models.transformer import forward
 
-    got_np, want_np = np.asarray(got), np.asarray(want)
-    div = got_np != want_np
-    n_diff = int(div.sum())
-    max_gap_rel = 0.0
-    tie_tol = 0.0
-    if n_diff:
-        import dataclasses
-        f32cfg = dataclasses.replace(tcfg, dtype=jnp.float32)
-        p32 = jax.tree.map(lambda a: a.astype(jnp.float32), tparams)
-        # params ride as REAL jit arguments — closed-over pytrees become
-        # HLO constants and 260 MB of them overflows the remote-compile
-        # tunnel request (HTTP 413; utils/benchmark.py docstring)
-        fwd32_ = jax.jit(lambda p, t: forward(p, t, f32cfg, interpret=True))
-        fwd16_ = jax.jit(lambda p, t: forward(p, t, tcfg))
-        fwd32 = lambda t: fwd32_(p32, t)              # noqa: E731
-        fwd16 = lambda t: fwd16_(tparams, t)          # noqa: E731
+    want_np = np.asarray(want)
+    _fwds = {}
+
+    def verify_ties(got_np, leg):
+        """Every spec-vs-vanilla divergence must be a genuine float-tie
+        of the TARGET model (see docstring).  Returns (n_diff,
+        max_gap_rel, tie_tol)."""
+        div = got_np != want_np
+        n_diff = int(div.sum())
+        if not n_diff:
+            return 0, 0.0, 0.0
+        if not _fwds:
+            import dataclasses
+            f32cfg = dataclasses.replace(tcfg, dtype=jnp.float32)
+            p32 = jax.tree.map(lambda a: a.astype(jnp.float32), tparams)
+            # params ride as REAL jit arguments — closed-over pytrees
+            # become HLO constants and 260 MB of them overflows the
+            # remote-compile tunnel request (HTTP 413)
+            fwd32_ = jax.jit(
+                lambda p, t: forward(p, t, f32cfg, interpret=True))
+            fwd16_ = jax.jit(lambda p, t: forward(p, t, tcfg))
+            _fwds["32"] = lambda t: fwd32_(p32, t)
+            _fwds["16"] = lambda t: fwd16_(tparams, t)
+        fwd32, fwd16 = _fwds["32"], _fwds["16"]
         # self-calibrating tie band: the bf16 pipeline's own logit noise
         # vs the f32 reference on a matching prefix — divergent tokens
         # must sit within 6 sigma of it (a token materially below the
@@ -1120,6 +1137,7 @@ def bench_spec_decode():
         l16 = np.asarray(fwd16(seq0))[0, -1].astype(np.float32)
         noise_rel = float(np.std(l16 - l32) / np.std(l32))
         tie_tol = 6.0 * noise_rel
+        max_gap_rel = 0.0
         for s in np.nonzero(div.any(axis=1))[0][:4]:   # first 4 sequences
             j = int(np.nonzero(div[s])[0][0])
             seq = np.concatenate([np.asarray(prompt[s]), want_np[s, :j]])
@@ -1131,9 +1149,13 @@ def bench_spec_decode():
             max_gap_rel = max(max_gap_rel, gap / scale)
             if gap > tie_tol * scale:
                 raise AssertionError(
-                    f"spec_decode divergence at seq {s} pos {j} is NOT a "
-                    f"tie: logit gap {gap:.4f} vs scale {scale:.4f} "
+                    f"spec_decode[{leg}] divergence at seq {s} pos {j} is "
+                    f"NOT a tie: logit gap {gap:.4f} vs scale {scale:.4f} "
                     f"(tie band {tie_tol:.4f} = 6x measured bf16 noise)")
+        return n_diff, max_gap_rel, tie_tol
+
+    got_np = np.asarray(got)
+    n_diff, max_gap_rel, tie_tol = verify_ties(got_np, "random-draft")
     t0 = _time.perf_counter()
     got, stats = spec.generate(prompt, max_new_tokens=n_new, gamma=gamma)
     dt_spec = _time.perf_counter() - t0
@@ -1164,6 +1186,131 @@ def bench_spec_decode():
          f"rounds of gamma={gamma}")
 
 
+def bench_spec_decode_distilled():
+    import time as _time
+
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        GenerationEngine, ModelConfig, init_params,
+    )
+    from exploring_flash_attention_tpu.models.speculative import (
+        SpeculativeEngine,
+    )
+
+    tile = TileConfig(block_q=512, block_kv=512)
+    tcfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
+    )
+    dcfg_tiny = ModelConfig(
+        vocab_size=32768, n_layers=1, n_heads=4, n_kv_heads=4,
+        d_model=512, d_head=128, d_ff=2048, dtype=jnp.bfloat16, tile=tile,
+    )
+    tparams = init_params(tcfg, seed=0)
+    bsz = 8
+
+    # ---- distilled draft on a STRUCTURED task: the winning point
+    # (VERDICT r4 item 5).  Random-init weights carry no learnable
+    # structure: the random-draft leg above is the documented worst
+    # case, and a draft distilled against a RANDOM target memorizes its
+    # corpus but cannot generalize (measured acceptance 0.000 — the
+    # target's argmax on fresh contexts is a random function of 4 layers
+    # the 1-layer draft cannot compute).  Real speculative decoding
+    # presumes target and draft share structure learned from data, so
+    # emulate that honestly: train the TARGET briefly on a
+    # near-deterministic Markov task, distill the draft from the trained
+    # target's own generations (models/distill.py), and sweep gamma. ----
+    from exploring_flash_attention_tpu.models.distill import distill_draft
+    from exploring_flash_attention_tpu.models.transformer import (
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(11)
+    # the chain lives on a 1024-token sub-vocabulary: 32768 transitions
+    # are not learnable in a 1-minute budget, 1024 are (target reaches
+    # P(argmax==succ) = 1.00 on held-out chains by step 100)
+    sub = 1024
+    succ = rng.permutation(sub).astype(np.int64)
+    det_p = 0.9
+
+    def markov(n, length, r):
+        out = np.empty((n, length), np.int64)
+        out[:, 0] = r.integers(0, sub, n)
+        for t in range(1, length):
+            det = succ[out[:, t - 1]]
+            noise = r.integers(0, sub, n)
+            out[:, t] = np.where(r.random(n) < det_p, det, noise)
+        return out
+
+    t0 = _time.perf_counter()
+    train_step, opt = make_train_step(tcfg)
+    opt_state = opt.init(tparams)
+    ttparams = tparams
+    for s in range(300):
+        toks = jnp.asarray(markov(16, 129, rng), jnp.int32)
+        ttparams, opt_state, loss = train_step(ttparams, opt_state, toks)
+    train_sec = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    ddparams, dst = distill_draft(
+        ttparams, tcfg, init_params(dcfg_tiny, seed=7), dcfg_tiny,
+        steps=600, batch=16, n_seqs=64,
+        seed=3, prompts=jnp.asarray(markov(64, 32, rng), jnp.int32))
+    distill_sec = _time.perf_counter() - t0
+
+    mprompt = jnp.asarray(markov(bsz, 256, rng), jnp.int32)
+    n_new2 = 128
+    # max_len 512 sizes the extend kernel's static span to the actual
+    # 256+96 contexts instead of paying a 1024-token masked span
+    vanilla2 = GenerationEngine(ttparams, tcfg, max_seqs=bsz, max_len=512)
+    want2 = vanilla2.generate(mprompt, max_new_tokens=n_new2)  # compile
+    # MIN of 5: tunnel pauses only ever inflate a reading (the repo's
+    # chained-timer rationale, utils/benchmark.py)
+    dts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        want2 = vanilla2.generate(mprompt, max_new_tokens=n_new2)
+        dts.append(_time.perf_counter() - t0)
+    dt_v2 = min(dts)
+    want2_np = np.asarray(want2)
+
+    curve = []
+    best = None
+    best_got = None
+    for g in (12, 16, 20):
+        deng = SpeculativeEngine(ttparams, tcfg, ddparams, dcfg_tiny,
+                                 max_seqs=bsz, max_len=512,
+                                 draft_mode="dense", draft_window=128)
+        dgot, _ = deng.generate(mprompt, max_new_tokens=n_new2, gamma=g)
+        dts = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            dgot, ds = deng.generate(mprompt, max_new_tokens=n_new2, gamma=g)
+            dts.append(_time.perf_counter() - t0)
+        dt = min(dts)
+        point = (g, float(ds["acceptance_rate"]), bsz * n_new2 / dt,
+                 (bsz * n_new2 / dt) / (bsz * n_new2 / dt_v2))
+        curve.append(point)
+        if best is None or point[2] > best[2]:
+            best, best_got = point, dgot
+    match = int((np.asarray(best_got) == want2_np).sum())
+    curve_s = "; ".join(
+        f"gamma={g}: acc {a:.2f}, {t:.0f} tok/s ({s:.2f}x)"
+        for g, a, t, s in curve)
+    emit("spec_decode_distilled_tokens_per_sec", best[2], "tokens/s",
+         best[3],
+         f"target trained {train_sec:.0f}s on a det_p={det_p} Markov "
+         f"task, 1-layer draft distilled from it on-chip in "
+         f"{distill_sec:.0f}s (train argmax agreement "
+         f"{dst['agree_first']:.2f} -> {dst['agree_last']:.2f}); curve: "
+         f"{curve_s}; best gamma={best[0]} acceptance {best[1]:.3f}; "
+         f"{match}/{want2_np.size} tokens match target-only greedy; "
+         f"vs_baseline = speedup over target-only "
+         f"({bsz*n_new2/dt_v2:.0f} tok/s); random-target distillation "
+         f"measured acceptance 0.000 (memorizes, cannot generalize) — "
+         f"structure must come from data, as in production")
+
+
 ALL = {
     "fwd_d128": bench_fwd_d128,
     "fwd_boundmax": bench_fwd_boundmax,
@@ -1183,6 +1330,7 @@ ALL = {
     "extend_prefill": bench_extend_prefill,
     "generate_e2e": bench_generate_e2e,
     "spec_decode": bench_spec_decode,
+    "spec_decode_distilled": bench_spec_decode_distilled,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "train_model_tokens": bench_train_model_tokens,
     "train_encoder_tokens": bench_train_encoder_tokens,

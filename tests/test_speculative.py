@@ -121,3 +121,43 @@ def test_engine_reusable_and_validates():
     assert out.shape == (2, 8)
     out2, _ = spec.generate(_prompt(rng, 1, 32), max_new_tokens=8, gamma=2)
     assert out2.shape == (1, 8)
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_dense_draft_greedy_matches_target_only(gamma):
+    """draft_mode='dense' (rolling-window dense draft, no paged kernels):
+    greedy spec output still equals target-only greedy exactly — the
+    verify mechanism guarantees it for ANY proposal distribution, so the
+    window-limited draft changes only the acceptance rate."""
+    rng = np.random.default_rng(4)
+    tparams = init_params(TCFG, seed=0)
+    dparams = init_params(DCFG, seed=7)
+    prompt = _prompt(rng, 2, 32)
+
+    vanilla = GenerationEngine(tparams, TCFG, max_seqs=2, max_len=256)
+    want = vanilla.generate(prompt, max_new_tokens=24, temperature=0.0)
+
+    spec = SpeculativeEngine(tparams, TCFG, dparams, DCFG,
+                             max_seqs=2, max_len=256,
+                             draft_mode="dense", draft_window=64)
+    got, stats = spec.generate(prompt, max_new_tokens=24, gamma=gamma)
+    np.testing.assert_array_equal(got, want)
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
+
+
+def test_dense_draft_self_acceptance_with_covering_window():
+    """dense self-draft whose window covers the whole context proposes
+    exactly the target's argmaxes => acceptance ~1 (small numeric
+    ties excepted) and output == vanilla."""
+    rng = np.random.default_rng(5)
+    params = init_params(TCFG, seed=0)
+    prompt = _prompt(rng, 2, 24)
+
+    spec = SpeculativeEngine(params, TCFG, params, TCFG,
+                             max_seqs=2, max_len=256,
+                             draft_mode="dense", draft_window=128)
+    got, stats = spec.generate(prompt, max_new_tokens=16, gamma=4)
+    vanilla = GenerationEngine(params, TCFG, max_seqs=2, max_len=256)
+    want = vanilla.generate(prompt, max_new_tokens=16, temperature=0.0)
+    np.testing.assert_array_equal(got, want)
+    assert stats["acceptance_rate"] >= 0.9, stats
