@@ -572,6 +572,175 @@ def bench_scheduler_e2e():
          f"{host_us:.0f}; gate {err:.1e} (int8-cache tier)")
 
 
+def bench_decode_tokens_d64():
+    """Paged INT8-cache decode at the flagship head size d=64 on REAL
+    hardware (VERDICT r4 item 2): head_pack=2 stores two KV heads per
+    128-lane page row, so the same 2-DMA page stream serves d=64.
+    Gated against the dequantized-cache oracle."""
+    import dataclasses
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.oracle.reference import naive_attention
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_decode_attention,
+    )
+    from exploring_flash_attention_tpu.serving.kv_cache import (
+        PageAllocator, append_prompt, gather_kv, make_cache,
+    )
+
+    bsz, hq, hkv, d = 32, 8, 8, 64
+    ctx, page_size = 2048, 256
+    pages_per_seq = ctx // page_size
+    cache = make_cache(hkv, d, n_pages=bsz * pages_per_seq,
+                       page_size=page_size, max_seqs=bsz,
+                       max_pages_per_seq=pages_per_seq)
+    assert cache.head_pack == 2, cache.head_pack
+    alloc = PageAllocator(bsz * pages_per_seq)
+    rng = np.random.default_rng(0)
+    for s in range(bsz):
+        pages = alloc.alloc(pages_per_seq)
+        cache = dataclasses.replace(
+            cache, page_table=cache.page_table.at[s, :pages_per_seq].set(
+                jnp.asarray(pages, jnp.int32)))
+        cache = append_prompt(
+            cache, s,
+            jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32),
+            jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32),
+            start=0, page_ids=pages)
+
+    slots = jnp.arange(bsz, dtype=jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((bsz, hq, d)), jnp.bfloat16)
+
+    # gate: 2 sequences vs the dequantized-cache oracle (int8 tier)
+    out = np.asarray(paged_decode_attention(q0, cache, slots))
+    worst = 0.0
+    for s in range(2):
+        kd, vd = gather_kv(cache, s)
+        qs = np.asarray(q0[s].astype(jnp.float32))
+        ref = naive_attention(qs[:, None, :], np.asarray(kd),
+                              np.asarray(vd))
+        worst = max(worst, float(np.abs(out[s][:, None, :] - ref).max()))
+    err = gate(np.asarray([worst]), np.asarray([0.0]), 2e-2,
+               "decode_tokens_d64")
+
+    def step(x):
+        return paged_decode_attention(x, cache, slots)
+
+    from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
+    sec = time_fn_chained(step, q0, n_long=128, n_short=16)
+    emit("decode_tokens_d64_per_sec", bsz / sec, "tokens/s", None,
+         f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, d=64 head_pack=2 "
+         f"int8 pages ON CHIP, gate {err:.1e} (int8-cache tier)")
+
+
+def bench_extend_prefill_d64():
+    """Chunked-prefill (extend) at d=64 with head-packed pages on REAL
+    hardware, gated against the dequantized-cache oracle."""
+    import dataclasses
+    import math as _math
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_extend_attention,
+    )
+    from exploring_flash_attention_tpu.serving.kv_cache import (
+        PageAllocator, append_chunks, append_prompt, gather_kv, make_cache,
+    )
+
+    bsz, hq, hkv, d = 8, 8, 8, 64
+    ctx, c_new, page_size = 2048, 256, 256
+    pages_per_seq = (ctx + c_new) // page_size
+    cache = make_cache(hkv, d, n_pages=bsz * pages_per_seq,
+                       page_size=page_size, max_seqs=bsz,
+                       max_pages_per_seq=pages_per_seq)
+    assert cache.head_pack == 2
+    alloc = PageAllocator(bsz * pages_per_seq)
+    rng = np.random.default_rng(0)
+    for s in range(bsz):
+        pages = alloc.alloc(pages_per_seq)
+        cache = dataclasses.replace(
+            cache, page_table=cache.page_table.at[s, :pages_per_seq].set(
+                jnp.asarray(pages, jnp.int32)))
+        cache = append_prompt(
+            cache, s,
+            jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32),
+            jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32),
+            start=0, page_ids=pages)
+    knew = jnp.asarray(rng.standard_normal((bsz, c_new, hkv, d)),
+                       jnp.float32)
+    vnew = jnp.asarray(rng.standard_normal((bsz, c_new, hkv, d)),
+                       jnp.float32)
+    slots = jnp.arange(bsz, dtype=jnp.int32)
+    cache = append_chunks(cache, slots, knew, vnew)
+    qe = jnp.asarray(rng.standard_normal((bsz, c_new, hq, d)),
+                     jnp.bfloat16)
+
+    # gate: 1 sequence, causal-over-history oracle on dequantized K/V
+    out = np.asarray(paged_extend_attention(qe, cache, slots))
+    kd, vd = gather_kv(cache, 0)
+    kd, vd = np.asarray(kd), np.asarray(vd)
+    l_tot = kd.shape[1]
+    qf = np.asarray(qe[0].astype(jnp.float32))           # [C, Hq, d]
+    worst = 0.0
+    sc = 1.0 / _math.sqrt(d)
+    for h in range(hq):
+        s_ = qf[:, h, :] @ kd[h].T * sc
+        mask = (np.arange(l_tot)[None, :]
+                <= (ctx + np.arange(c_new))[:, None])
+        s_ = np.where(mask, s_, -np.inf)
+        p = np.exp(s_ - s_.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        worst = max(worst, float(np.abs(out[0, :, h] - p @ vd[h]).max()))
+    err = gate(np.asarray([worst]), np.asarray([0.0]), 2e-2,
+               "extend_prefill_d64")
+
+    from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
+    sec = time_fn_chained(
+        lambda x: paged_extend_attention(x, cache, slots), qe,
+        n_long=32, n_short=4)
+    emit("extend_prefill_d64_tokens_per_sec", bsz * c_new / sec,
+         "tokens/s", None,
+         f"{sec*1e3:.2f} ms, C={c_new} over ctx={ctx}, d=64 head_pack=2 "
+         f"ON CHIP, gate {err:.1e} (int8-cache tier)")
+
+
+def bench_generate_e2e_flagship():
+    """End-to-end generation at the DEFAULT flagship geometry
+    (ModelConfig d_head=64, full-KV heads) on real hardware — closed by
+    the head-packed pages; previously this geometry ran interpret-only
+    and the e2e row quietly substituted d_head=128 (VERDICT r4 item 2)."""
+    import time as _time
+
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        GenerationEngine, ModelConfig, init_params,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=8,
+        d_model=512, d_head=64, d_ff=2048, dtype=jnp.bfloat16,
+        tile=TileConfig(block_q=512, block_kv=512),
+    )
+    params = init_params(cfg, seed=0)
+    bsz, l_prompt, n_new = 8, 256, 24
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size,
+                                          (bsz, l_prompt)), jnp.int32)
+    eng = GenerationEngine(params, cfg, max_seqs=bsz, max_len=1024)
+    eng.generate(prompt, max_new_tokens=n_new)        # compile + warm
+    dts = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        out = eng.generate(prompt, max_new_tokens=n_new)
+        dts.append(_time.perf_counter() - t0)
+    dt = min(dts)
+    assert out.shape == (bsz, n_new)
+    emit("generate_e2e_flagship_d64_tokens_per_sec", bsz * n_new / dt,
+         "tokens/s", None,
+         f"{dt*1e3:.0f} ms for {bsz}x{n_new} tokens at the DEFAULT "
+         f"d_head=64 geometry on chip (head-packed int8 pages), incl "
+         f"prefill {l_prompt}")
+
+
 def bench_extend_prefill():
     """Chunked-prefill (extend) attention over the paged INT8 cache:
     C=256 new tokens per sequence attending over 2048 cached tokens,
@@ -743,6 +912,58 @@ def bench_train_model_tokens():
     dt = (_time.perf_counter() - t0) / n
     emit("train_model_tokens_per_sec", bsz * seq / dt, "tokens/s", None,
          f"{dt*1e3:.1f} ms/step, 65M params, B={bsz} L={seq}, loss {float(loss):.3f}")
+
+
+def bench_train_long_context():
+    """Long-context training on ONE chip at real length (VERDICT r4 item
+    10): B=1 x L=32768 causal LM step with window=4096 attention — the
+    single-chip end of the 128K tier, confirming the O(L x window)
+    training cost the banded VJP promises (ops/attention_vjp.py).
+    Vocab is 2048 for this row: the LM head's [L, V] f32 logits are the
+    memory bound at 32K tokens, not the attention (32768-vocab logits
+    alone would be 4.3 GB).  Gate: the loss strictly decreases over the
+    timed steps (the full fwd+bwd+adamw pipeline is functional)."""
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.models import (
+        ModelConfig, init_params, make_train_step,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=2048, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16,
+        window=4096,
+        tile=TileConfig(block_q=512, block_kv=512),
+    )
+    params = init_params(cfg, seed=0)
+    train_step, opt = make_train_step(cfg)
+    opt_state = opt.init(params)
+    bsz, seq = 1, 32768
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (bsz, seq + 1)),
+        jnp.int32,
+    )
+    params, opt_state, loss0 = train_step(params, opt_state, tokens)
+    l0 = float(loss0)
+
+    import time as _time
+    n = 6
+    params, opt_state, loss = train_step(params, opt_state, tokens)
+    float(loss)
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = train_step(params, opt_state, tokens)
+    l_end = float(loss)
+    dt = (_time.perf_counter() - t0) / n
+    if not l_end < l0:
+        raise AssertionError(
+            f"long-context train gate: loss {l0:.4f} -> {l_end:.4f} "
+            "did not decrease")
+    emit("train_long_context_tokens_per_sec", bsz * seq / dt, "tokens/s",
+         None,
+         f"{dt*1e3:.1f} ms/step, B={bsz} L={seq} window=4096 "
+         f"(O(L*window) banded fwd+bwd), vocab 2048, loss {l0:.3f} -> "
+         f"{l_end:.3f} over {n + 2} steps")
 
 
 def bench_train_encoder_tokens():
@@ -1326,13 +1547,17 @@ ALL = {
     "kvquant_int8": bench_kvquant_int8,
     "int8_qkv": bench_int8_qkv,
     "decode_tokens": bench_decode_tokens,
+    "decode_tokens_d64": bench_decode_tokens_d64,
     "scheduler_e2e": bench_scheduler_e2e,
     "extend_prefill": bench_extend_prefill,
+    "extend_prefill_d64": bench_extend_prefill_d64,
     "generate_e2e": bench_generate_e2e,
+    "generate_e2e_flagship": bench_generate_e2e_flagship,
     "spec_decode": bench_spec_decode,
     "spec_decode_distilled": bench_spec_decode_distilled,
     "train_fwd_bwd": bench_train_fwd_bwd,
     "train_model_tokens": bench_train_model_tokens,
+    "train_long_context": bench_train_long_context,
     "train_encoder_tokens": bench_train_encoder_tokens,
     "long_context": bench_long_context,
     "long_context_boundmax": bench_long_context_boundmax,
