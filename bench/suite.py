@@ -404,24 +404,32 @@ def bench_decode_tokens():
     slots = jnp.arange(bsz, dtype=jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((bsz, hq, d)), jnp.bfloat16)
 
+    from exploring_flash_attention_tpu.utils.autotune import autotune_decode
+    n_buf = autotune_decode(q0, cache, slots)
+
     def step(x):
-        return paged_decode_attention(x, cache, slots)
+        return paged_decode_attention(x, cache, slots, n_buf=n_buf)
 
     from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
     # decode steps are ~100-250us — long chains so the measurement dwarfs
     # ms-scale tunnel noise (short chains measured anywhere in 117-250us)
     sec = time_fn_chained(step, q0, n_long=128, n_short=16)
     emit("decode_tokens_per_sec", bsz / sec, "tokens/s", None,
-         f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages")
+         f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, int8 pages, "
+         f"autotuned n_buf={n_buf}")
 
     # sliding-window decode: out-of-band pages are never listed, so the
     # step cost scales with the window (512 of 2048 cached tokens here)
+    n_buf_w = autotune_decode(q0, cache, slots, window=512)
+
     def step_w(x):
-        return paged_decode_attention(x, cache, slots, window=512)
+        return paged_decode_attention(x, cache, slots, window=512,
+                                      n_buf=n_buf_w)
 
     sec_w = time_fn_chained(step_w, q0, n_long=128, n_short=16)
     emit("decode_window512_tokens_per_sec", bsz / sec_w, "tokens/s", None,
-         f"{sec_w*1e6:.1f} us/step, B={bsz}, ctx={ctx}, w=512 int8 pages")
+         f"{sec_w*1e6:.1f} us/step, B={bsz}, ctx={ctx}, w=512 int8 pages, "
+         f"autotuned n_buf={n_buf_w}")
 
 
 def bench_scheduler_e2e():
@@ -622,14 +630,18 @@ def bench_decode_tokens_d64():
     err = gate(np.asarray([worst]), np.asarray([0.0]), 2e-2,
                "decode_tokens_d64")
 
+    from exploring_flash_attention_tpu.utils.autotune import autotune_decode
+    n_buf = autotune_decode(q0, cache, slots)
+
     def step(x):
-        return paged_decode_attention(x, cache, slots)
+        return paged_decode_attention(x, cache, slots, n_buf=n_buf)
 
     from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
     sec = time_fn_chained(step, q0, n_long=128, n_short=16)
     emit("decode_tokens_d64_per_sec", bsz / sec, "tokens/s", None,
          f"{sec*1e6:.1f} us/step, B={bsz}, ctx={ctx}, d=64 head_pack=2 "
-         f"int8 pages ON CHIP, gate {err:.1e} (int8-cache tier)")
+         f"int8 pages ON CHIP, autotuned n_buf={n_buf}, "
+         f"gate {err:.1e} (int8-cache tier)")
 
 
 def bench_extend_prefill_d64():
@@ -692,14 +704,17 @@ def bench_extend_prefill_d64():
     err = gate(np.asarray([worst]), np.asarray([0.0]), 2e-2,
                "extend_prefill_d64")
 
+    from exploring_flash_attention_tpu.utils.autotune import autotune_extend
+    q_strip = autotune_extend(qe, cache, slots)
     from exploring_flash_attention_tpu.utils.benchmark import time_fn_chained
     sec = time_fn_chained(
-        lambda x: paged_extend_attention(x, cache, slots), qe,
-        n_long=32, n_short=4)
+        lambda x: paged_extend_attention(x, cache, slots, q_strip=q_strip),
+        qe, n_long=32, n_short=4)
     emit("extend_prefill_d64_tokens_per_sec", bsz * c_new / sec,
          "tokens/s", None,
          f"{sec*1e3:.2f} ms, C={c_new} over ctx={ctx}, d=64 head_pack=2 "
-         f"ON CHIP, gate {err:.1e} (int8-cache tier)")
+         f"ON CHIP, autotuned q_strip={q_strip}, "
+         f"gate {err:.1e} (int8-cache tier)")
 
 
 def bench_generate_e2e_flagship():
@@ -775,8 +790,11 @@ def bench_extend_prefill():
     slots = jnp.arange(bsz, dtype=jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((bsz, chunk, hq, d)), jnp.bfloat16)
 
+    from exploring_flash_attention_tpu.utils.autotune import autotune_extend
+    q_strip = autotune_extend(q0, cache, slots)
+
     def step(x):
-        return paged_extend_attention(x, cache, slots)
+        return paged_extend_attention(x, cache, slots, q_strip=q_strip)
 
     # exact-path gate (VERDICT r3 item 8): referee rows of the timed call
     # itself (first/last chunk rows of two sequences) against the f64
@@ -806,7 +824,8 @@ def bench_extend_prefill():
     flops = 4 * bsz * hq * chunk * (hist + chunk / 2) * d
     emit("extend_prefill_tflops", flops / sec / 1e12, "TFLOP/s", None,
          f"{sec*1e3:.3f} ms, B={bsz} C={chunk} over ctx={ctx} int8 pages "
-         f"({bsz * chunk / sec:.0f} tok/s), exact-path gate {err:.1e}")
+         f"({bsz * chunk / sec:.0f} tok/s), autotuned q_strip={q_strip}, "
+         f"exact-path gate {err:.1e}")
 
 
 def bench_generate_e2e():
@@ -1136,7 +1155,8 @@ def bench_sliding_window_32k():
 
     b, h, l, d, window = 1, 8, 32768, 128, 4096
     qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
-    cfg = TileConfig(block_q=1024, block_kv=1024)
+    from exploring_flash_attention_tpu.utils.autotune import autotune_window
+    cfg = autotune_window(qb, kb, vb, window)
     sec = time_fn_chained(
         lambda x: flash_attention_v1(x, kb, vb, config=cfg, causal=True,
                                      window=window),
@@ -1144,7 +1164,8 @@ def bench_sliding_window_32k():
     # useful FLOPs: each query row attends to <= window keys
     flops = 4 * b * h * l * window * d
     emit("fwd_sliding_window_32k_tflops", flops / sec / 1e12, "TFLOP/s",
-         None, f"{sec*1e3:.3f} ms causal L=32K w=4096")
+         None, f"{sec*1e3:.3f} ms causal L=32K w=4096, autotuned "
+         f"q_chunk={cfg.q_chunk}")
 
 
 def bench_long_kv_8k():
@@ -1190,7 +1211,8 @@ def bench_fwd_causal():
 
     b, h, l, d = 32, 8, 1024, 128
     qb, kb, vb = _qkv_bf16(b, h, l, d, seed=1)
-    cfg = TileConfig(block_q=1024, block_kv=1024)
+    from exploring_flash_attention_tpu.utils.autotune import autotune_v1
+    cfg = autotune_v1(qb, kb, vb, causal=True)
     # exact-path gate (VERDICT r3 item 8): timed shape + config, [2,2]
     # (b, h) slice vs the f64 oracle
     out = np.asarray(flash_attention_v1(

@@ -100,6 +100,7 @@ def _decode_kernel(
     compute_dtype,
     window: Optional[int] = None,
     head_pack: int = 1,
+    n_buf: int = N_BUF,
 ):
     ps = page_size
     # zero-length sequences produce no work-list entries; pre-zero the
@@ -144,8 +145,8 @@ def _decode_kernel(
         ]
 
     # fill the prefetch window once for the WHOLE batch (decode is
-    # DMA-latency-bound; keep N_BUF page transfers in flight)
-    for w in range(N_BUF):
+    # DMA-latency-bound; keep n_buf page transfers in flight)
+    for w in range(n_buf):
         @pl.when(w < n_total)
         def _start(w=w):
             for d_ in dma(w, w):
@@ -155,7 +156,7 @@ def _decode_kernel(
 
     def page_step(i, carry):
         m, l, acc = carry                      # (Hkv*G, 1) x2, (Hkv*G, d)
-        slot = jax.lax.rem(i, N_BUF)
+        slot = jax.lax.rem(i, n_buf)
 
         for d_ in dma(slot, i):
             d_.wait()
@@ -184,9 +185,9 @@ def _decode_kernel(
                   for ph in range(n_hp)]
 
         # slot fully read — start its next transfer while we compute
-        @pl.when(i + N_BUF < n_total)
+        @pl.when(i + n_buf < n_total)
         def _prefetch():
-            for d_ in dma(slot, i + N_BUF):
+            for d_ in dma(slot, i + n_buf):
                 d_.start()
 
         s = jnp.concatenate(s_heads, axis=0)           # (Hkv*G, ps)
@@ -279,6 +280,7 @@ def _extend_kernel(
     compute_dtype,
     window: Optional[int] = None,
     head_pack: int = 1,
+    n_buf: int = N_BUF,
 ):
     """Chunked-prefill ("extend") attention over the paged INT8 cache.
 
@@ -313,7 +315,7 @@ def _extend_kernel(
             ),
         ]
 
-    for w in range(N_BUF):
+    for w in range(n_buf):
         @pl.when(j0 + w < np_s)
         def _start(w=w):
             for d_ in dma(w, j0 + w):
@@ -328,7 +330,7 @@ def _extend_kernel(
 
     def page_step(j, carry):
         m, l, acc = carry           # (rows, 1) x2, (rows, d)
-        buf = jax.lax.rem(j - j0, N_BUF)
+        buf = jax.lax.rem(j - j0, n_buf)
         for d_ in dma(buf, j):
             d_.wait()
 
@@ -355,9 +357,9 @@ def _extend_kernel(
         v_rows = [kv_buf[buf, 1, ph].astype(compute_dtype)
                   for ph in range(n_hp)]
 
-        @pl.when(j + N_BUF < np_s)
+        @pl.when(j + n_buf < np_s)
         def _prefetch():
-            for d_ in dma(buf, j + N_BUF):
+            for d_ in dma(buf, j + n_buf):
                 d_.start()
 
         col = (jax.lax.broadcasted_iota(
@@ -476,6 +478,7 @@ def _extend_onepass_kernel(
     compute_dtype,
     window: Optional[int] = None,
     head_pack: int = 1,
+    q_strip: int = EXTEND_Q_STRIP,
 ):
     """One-pass chunked-prefill attention: the whole visible span resident.
 
@@ -583,8 +586,8 @@ def _extend_onepass_kernel(
             k_sc = sc_buf[db, 0, kh].reshape(1, lmax) * (scale * _LOG2E)
             v_sc = jnp.where(col_v < sl,
                              sc_buf[db, 1, kh].reshape(1, lmax), 0.0)
-            for r0 in range(0, rows_all, EXTEND_Q_STRIP):
-                rr = min(EXTEND_Q_STRIP, rows_all - r0)
+            for r0 in range(0, rows_all, q_strip):
+                rr = min(q_strip, rows_all - r0)
                 qs = q_ref[0, ph,
                            s_i * rows_all + r0:s_i * rows_all + r0 + rr, :]
                 s = jax.lax.dot_general(
@@ -627,6 +630,8 @@ def paged_extend_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
+    n_buf: int = N_BUF,
+    q_strip: int = EXTEND_Q_STRIP,
 ) -> jax.Array:
     """Chunked-prefill attention: each sequence's C newest tokens (already
     appended to the cache via ``append_prompt``) attend causally over that
@@ -641,11 +646,12 @@ def paged_extend_attention(
                <= EXTEND_ONEPASS_MAX_BYTES)
     return _paged_extend_attention(
         q, cache, seq_slots, scale=scale, interpret=interpret,
-        window=window, onepass=onepass)
+        window=window, onepass=onepass, n_buf=n_buf, q_strip=q_strip)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "window", "onepass"))
+    jax.jit, static_argnames=("scale", "interpret", "window", "onepass",
+                              "n_buf", "q_strip"))
 def _paged_extend_attention(
     q: jax.Array,
     cache: PagedKVCache,
@@ -654,6 +660,8 @@ def _paged_extend_attention(
     interpret: Optional[bool],
     window: Optional[int],
     onepass: bool,
+    n_buf: int = N_BUF,
+    q_strip: int = EXTEND_Q_STRIP,
 ) -> jax.Array:
     b, c, hq, d = q.shape
     hkv = cache.num_kv_heads
@@ -692,6 +700,7 @@ def _paged_extend_attention(
         compute_dtype=q.dtype,
         window=window,
         head_pack=pk,
+        **({"q_strip": q_strip} if onepass else {"n_buf": n_buf}),
     )
     if onepass:
         scratch_shapes = [
@@ -702,9 +711,9 @@ def _paged_extend_attention(
         ]
     else:
         scratch_shapes = [
-            pltpu.VMEM((N_BUF, 2, hp, ps, pk * d), cache.kv_pages.dtype),
-            pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_BUF)),
+            pltpu.VMEM((n_buf, 2, hp, ps, pk * d), cache.kv_pages.dtype),
+            pltpu.VMEM((n_buf, 2, hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_buf)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -735,7 +744,8 @@ def _paged_extend_attention(
         b, c, hq, d)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "window", "n_buf"))
 def paged_decode_attention(
     q: jax.Array,                # [B, Hq, d] one token per sequence
     cache: PagedKVCache,
@@ -743,6 +753,7 @@ def paged_decode_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
+    n_buf: int = N_BUF,
 ) -> jax.Array:
     """Batched single-token decode over the paged INT8 cache.
 
@@ -782,6 +793,7 @@ def paged_decode_attention(
         compute_dtype=q.dtype,
         window=window,
         head_pack=pk,
+        n_buf=n_buf,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -799,9 +811,9 @@ def paged_decode_attention(
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
             pltpu.SMEM((b * max_pages,), jnp.int32),
-            pltpu.VMEM((N_BUF, 2, hp, ps, pk * d), cache.kv_pages.dtype),
-            pltpu.VMEM((N_BUF, 2, hkv, 1, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_BUF)),
+            pltpu.VMEM((n_buf, 2, hp, ps, pk * d), cache.kv_pages.dtype),
+            pltpu.VMEM((n_buf, 2, hkv, 1, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_buf)),
         ],
     )
     out = pl.pallas_call(

@@ -120,6 +120,13 @@ def default_candidates_v1(
             for qc in (None, 256, 512):
                 cands.append(TileConfig(block_q=bq, block_kv=max(lkv, 8),
                                         q_chunk=qc, head_fold=fold))
+    if causal and fits_onepass(lkv, d) and d > 32:
+        # causal one-pass: the banded strips make q_chunk the live knob
+        # (fold is chosen by _causal_headfold from the VMEM model)
+        bq = min(1024, max(lq, 8))
+        for qc in (None, 128, 512):
+            cands.append(TileConfig(block_q=bq, block_kv=max(lkv, 8),
+                                    q_chunk=qc))
     for bq in (256, 512, 1024):
         if bq > lq and bq != min(
             x for x in (256, 512, 1024) if x >= lq or x == 1024
@@ -318,6 +325,142 @@ def autotune_splitkv(
     )
     if best is None:
         raise RuntimeError(f"autotune_splitkv: every candidate failed ({key})")
+    _CACHE[key] = best
+    if use_disk_cache:
+        _save_disk(key, best)
+    return best
+
+
+# ---- serving-path knob tuners (VERDICT r4 item 8) ----
+#
+# The causal/window/decode/extend paths previously ran on hand-picked
+# geometry while only v1/dtiled/splitkv went through the tuner.  These
+# close the gap: integer-knob sweeps with the same timing protocol and
+# the same disk cache, so "the tuner the repo ships is the tuner the
+# number uses" holds for the serving rows too.
+
+def _save_disk_fields(key: str, fields: dict) -> None:
+    data = _load_disk()
+    data[key] = fields
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(data, f, indent=1)
+    except OSError:
+        pass
+
+
+_INT_CACHE: Dict[str, dict] = {}
+
+
+def _tune_int_knob(key: str, knob: str, cands, run, iters: int,
+                   use_disk_cache: bool) -> int:
+    if key in _INT_CACHE:
+        return _INT_CACHE[key][knob]
+    if use_disk_cache:
+        disk = _load_disk().get(key)
+        if disk and knob in disk:
+            _INT_CACHE[key] = disk
+            return disk[knob]
+    best, best_t = None, float("inf")
+    for cand in cands:
+        try:
+            t = _time_once(lambda cand=cand: run(cand), iters)
+        except Exception:  # noqa: BLE001 — infeasible geometry
+            continue
+        if t < best_t:
+            best, best_t = cand, t
+    if best is None:
+        raise RuntimeError(f"autotune: every candidate failed ({key})")
+    _INT_CACHE[key] = {knob: best}
+    if use_disk_cache:
+        _save_disk_fields(key, {knob: best})
+    return best
+
+
+def autotune_decode(
+    q: jax.Array,                # [B, Hq, d]
+    cache,
+    slots: jax.Array,
+    window: Optional[int] = None,
+    iters: int = 64,
+    use_disk_cache: bool = True,
+) -> int:
+    """Best DMA prefetch depth (``n_buf``) for paged_decode_attention at
+    this cache geometry; decode is latency-bound so the in-flight page
+    count is the knob that matters."""
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_decode_attention,
+    )
+
+    key = _key(f"decode{f'w{window}' if window else ''}"
+               f"|ps{cache.page_size}|mp{cache.max_pages_per_seq}",
+               q.shape, cache.num_kv_heads * 1000 + cache.head_dim,
+               q.dtype)
+    return _tune_int_knob(
+        key, "n_buf", (4, 8, 16),
+        lambda n: paged_decode_attention(q, cache, slots, window=window,
+                                         n_buf=n),
+        iters, use_disk_cache)
+
+
+def autotune_extend(
+    q: jax.Array,                # [B, C, Hq, d]
+    cache,
+    slots: jax.Array,
+    iters: int = 16,
+    use_disk_cache: bool = True,
+) -> int:
+    """Best score-strip rows (``q_strip``) for the one-pass extend kernel
+    (n_buf for the streaming variant rides the same knob sweep via the
+    wrapper's parameter)."""
+    from exploring_flash_attention_tpu.serving.decode import (
+        paged_extend_attention,
+    )
+
+    key = _key(f"extend|ps{cache.page_size}|mp{cache.max_pages_per_seq}",
+               q.shape, cache.num_kv_heads * 1000 + cache.head_dim,
+               q.dtype)
+    return _tune_int_knob(
+        key, "q_strip", (64, 128, 256),
+        lambda s: paged_extend_attention(q, cache, slots, q_strip=s),
+        iters, use_disk_cache)
+
+
+def autotune_window(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    window: int,
+    iters: int = 8,
+    use_disk_cache: bool = True,
+) -> TileConfig:
+    """Fastest TileConfig for the sliding-window one-pass path: the knob
+    is the softmax strip (``q_chunk``); block geometry is derived by the
+    launcher."""
+    from exploring_flash_attention_tpu.ops import flash_attention_v1
+
+    key = _key(f"v1w{window}", q.shape, k.shape[2], q.dtype)
+    if key in _CACHE:
+        return _CACHE[key]
+    if use_disk_cache:
+        disk = _load_disk().get(key)
+        if disk:
+            cfg = TileConfig(**disk)
+            _CACHE[key] = cfg
+            return cfg
+    lq, lkv = q.shape[2], k.shape[2]
+    cands = [TileConfig(block_q=min(512, max(lq, 8)),
+                        block_kv=min(512, max(lkv, 8)), q_chunk=qc)
+             for qc in (None, 128, 256, 512)]
+    best = _sweep_best(
+        cands,
+        lambda cfg: flash_attention_v1(q, k, v, config=cfg, causal=True,
+                                       window=window),
+        iters, key,
+    )
+    if best is None:
+        raise RuntimeError(f"autotune_window: every candidate failed ({key})")
     _CACHE[key] = best
     if use_disk_cache:
         _save_disk(key, best)
