@@ -577,6 +577,96 @@ def _v1_onepass_causal_kernel(
             kf32 = k_ref[hh].astype(jnp.float32)
             knorm_sq.append(jnp.sum(kf32 * kf32, axis=1))      # [vis_blk]
 
+    # Three-stage software pipeline over (strip, head) slots (round 5 —
+    # the same restructure that closed the dense headline,
+    # _v1_onepass_fold_kernel): strip t+1's QK^T issues before strip t's
+    # max/exp2/PV, whose denominator/divide/store trails one more slot,
+    # so the critical-path reductions overlap MXU work.  Zero-span
+    # strips bypass the pipeline (stored directly).
+
+    def _stage_a(hh, q0, rows, span, band_lo):
+        q = q_ref[hh, q0:q0 + rows, :]
+        ks = k_ref[hh, :span]
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, ks),
+        )
+        band = span - band_lo
+        sb_m = None
+        if band > 0:
+            sb = s[:, band_lo:]
+            sb_m = sb * c + _tri(
+                rows, band, q_base + q0 + diag_off - band_lo)
+        m = None
+        if softmax == "bound":
+            qf32 = q.astype(jnp.float32)
+            q_sq = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
+            k_sq_vis = jnp.max(knorm_sq[hh][:span])
+            m = jnp.sqrt(q_sq * k_sq_vis) * c - BOUND_SHIFT
+        return (hh, q0, rows, span, band_lo, band, s, sb_m, m)
+
+    def _stage_b(hh, q0, rows, span, band_lo, band, s, sb_m, m):
+        vs = v_ref[hh, :span]
+        # row max over the VISIBLE columns only: the dense prefix needs
+        # no mask (every column visible), the band maxes over its masked
+        # scores.  A full-strip max would be cheaper and shift-invariant
+        # in exact arithmetic, but it makes the f32 rounding depend on
+        # FUTURE tokens — exact-mode causal outputs are bit-invariant to
+        # them per token (tests/test_model.py gates this; speculative
+        # greedy equivalence leans on it).  The bound statistic (m
+        # computed in stage A) is invariant only at aligned strip
+        # granularity: k_sq_vis spans the lane-ALIGNED visible range
+        # (see the knorm_sq comment above).
+        if m is None:                        # exact
+            if band > 0:
+                m = jnp.max(sb_m, axis=1, keepdims=True)
+            if band_lo > 0:
+                m_d = jnp.max(s[:, :band_lo], axis=1,
+                              keepdims=True) * c
+                m = m_d if m is None else jnp.maximum(m, m_d)
+        # fully-masked rows (cross-length with lkv < lq): m = -inf
+        # would make the exp argument NaN; substitute 0 so p = 0
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        pv = None
+        pd = pb = None
+        if band_lo > 0:
+            pd = jnp.exp2(s[:, :band_lo] * c - m_safe).astype(vs.dtype)
+            pv = jax.lax.dot_general(
+                pd, vs[:band_lo], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(vs),
+            )
+        if band > 0:
+            pb = jnp.exp2(sb_m - m_safe).astype(vs.dtype)
+            pv_b = jax.lax.dot_general(
+                pb, vs[band_lo:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(vs),
+            )
+            pv = pv_b if pv is None else pv + pv_b
+        return (hh, q0, rows, m, pd, pb, pv)
+
+    def _stage_c(hh, q0, rows, m, pd, pb, pv):
+        l_raw = None
+        if pd is not None:
+            l_raw = jnp.sum(pd.astype(jnp.float32), axis=1, keepdims=True)
+        if pb is not None:
+            l_b = jnp.sum(pb.astype(jnp.float32), axis=1, keepdims=True)
+            l_raw = l_b if l_raw is None else l_raw + l_b
+        denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
+        o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
+        if with_lse:
+            # natural-log LSE over the visible span:
+            # max(s*scale) + ln(sum); m is in the exp2-scaled basis
+            lse = jnp.where(
+                l_raw[:, 0] == 0.0, NEG_INF,
+                m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
+            )
+            lse_ref[hh, :, q0:q0 + rows] = jnp.broadcast_to(
+                lse[None, :], (8, rows))
+
+    a_pend, b_pend = [], []
     for q0 in range(0, block_q, q_chunk):
         rows = min(q_chunk, block_q - q0)
         # columns visible to this strip's last row, lane-aligned
@@ -595,80 +685,15 @@ def _v1_onepass_causal_kernel(
                     lse_ref[hh, :, q0:q0 + rows] = jnp.full(
                         (8, rows), NEG_INF, jnp.float32)
                 continue
-            q = q_ref[hh, q0:q0 + rows, :]
-            ks = k_ref[hh, :span]
-            vs = v_ref[hh, :span]
-            s = jax.lax.dot_general(
-                q, ks, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(q, ks),
-            )
-            band = span - band_lo
-            # row max over the VISIBLE columns only: the dense prefix
-            # needs no mask (every column visible), the band maxes over
-            # its masked scores.  A full-strip max would be cheaper and
-            # shift-invariant in exact arithmetic, but it makes the f32
-            # rounding depend on FUTURE tokens — exact-mode causal
-            # outputs are bit-invariant to them per token (tests/
-            # test_model.py gates this; speculative greedy equivalence
-            # leans on it).  The bound statistic is invariant only at
-            # aligned strip granularity: k_sq_vis spans the lane-ALIGNED
-            # visible range, which can include up to STATS_LANES-1 keys
-            # past a row's own position (see the knorm_sq comment above).
-            m = None
-            sb_m = None
-            if band > 0:
-                sb = s[:, band_lo:]
-                sb_m = sb * c + _tri(
-                    rows, band, q_base + q0 + diag_off - band_lo)
-            if softmax == "bound":
-                qf32 = q.astype(jnp.float32)
-                q_sq = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
-                k_sq_vis = jnp.max(knorm_sq[hh][:span])
-                m = jnp.sqrt(q_sq * k_sq_vis) * c - BOUND_SHIFT
-            else:
-                if band > 0:
-                    m = jnp.max(sb_m, axis=1, keepdims=True)
-                if band_lo > 0:
-                    m_d = jnp.max(s[:, :band_lo], axis=1,
-                                  keepdims=True) * c
-                    m = m_d if m is None else jnp.maximum(m, m_d)
-            # fully-masked rows (cross-length with lkv < lq): m = -inf
-            # would make the exp argument NaN; substitute 0 so p = 0
-            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-            pv = None
-            l_raw = None
-            if band_lo > 0:
-                pd = jnp.exp2(s[:, :band_lo] * c - m_safe).astype(vs.dtype)
-                pv = jax.lax.dot_general(
-                    pd, vs[:band_lo], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=dot_precision(vs),
-                )
-                l_raw = jnp.sum(pd.astype(jnp.float32), axis=1,
-                                keepdims=True)
-            if band > 0:
-                pb = jnp.exp2(sb_m - m_safe).astype(vs.dtype)
-                pv_b = jax.lax.dot_general(
-                    pb, vs[band_lo:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=dot_precision(vs),
-                )
-                l_b = jnp.sum(pb.astype(jnp.float32), axis=1,
-                              keepdims=True)
-                pv = pv_b if pv is None else pv + pv_b
-                l_raw = l_b if l_raw is None else l_raw + l_b
-            denom = jnp.where(l_raw == 0.0, 1.0, l_raw)
-            o_ref[hh, q0:q0 + rows, :] = (pv / denom).astype(o_ref.dtype)
-            if with_lse:
-                # natural-log LSE over the visible span:
-                # max(s*scale) + ln(sum); m is in the exp2-scaled basis
-                lse = jnp.where(
-                    l_raw[:, 0] == 0.0, NEG_INF,
-                    m[:, 0] / LOG2E + jnp.log(denom[:, 0]),
-                )
-                lse_ref[hh, :, q0:q0 + rows] = jnp.broadcast_to(
-                    lse[None, :], (8, rows))
+            a_pend.append(_stage_a(hh, q0, rows, span, band_lo))
+            if len(a_pend) > 1:
+                b_pend.append(_stage_b(*a_pend.pop(0)))
+            if len(b_pend) > 1:
+                _stage_c(*b_pend.pop(0))
+    for item in a_pend:
+        b_pend.append(_stage_b(*item))
+    for item in b_pend:
+        _stage_c(*item)
 
 
 def causal_strip_spans(block_q: int, q_base: int, diag_off: int,
@@ -707,6 +732,7 @@ def _causal_headfold(n_bh: int, block_q: int, vis_max: int, d: int,
         or onepass_fold_vmem_bytes(
             block_q, vis_max, d, fold, out_bytes=out_bytes,
             with_lse=with_lse, q_chunk=q_chunk, strip_spans=spans,
+            pipelined=True,
         ) > FOLD_VMEM_BUDGET
     ):
         fold //= 2
