@@ -186,7 +186,7 @@ def bench_fwd_d32_boundmax():
     tf = attention_flops(b, h, l, l, d) / sec / 1e12
     emit("fwd_d32_boundmax_tflops", tf, "TFLOP/s", 3.39 / (sec * 1e3),
          f"{sec*1e3:.3f} ms, softmax='bound' opt-in, gate {err:.1e} "
-         f"at 2e-3 tier (exact d32 ships 41.4)")
+         f"at 2e-3 tier (pipelined exact d32 ships 43.7-44.2)")
 
 
 def bench_fwd_streaming():
@@ -1313,18 +1313,11 @@ def bench_spec_decode():
         vocab_size=32768, n_layers=4, n_heads=8, n_kv_heads=4,
         d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
     )
-    # legs 1-2 (worst-case + ceiling) keep the round-4 wide paged
-    # draft; the distilled leg uses a TINY draft (1 layer, d_model 256,
-    # MQA) in draft_mode="dense" — a rolling dense-window KV in the
-    # jitted loop's carry instead of paged kernels, so its step cost is
-    # a handful of fused einsums (models/speculative.py module note)
+    # the worst-case + ceiling legs keep the round-4 wide paged draft
+    # (the distilled winning point lives in bench_spec_decode_distilled)
     dcfg = ModelConfig(
         vocab_size=32768, n_layers=1, n_heads=8, n_kv_heads=4,
         d_model=1024, d_head=128, d_ff=4096, dtype=jnp.bfloat16, tile=tile,
-    )
-    dcfg_tiny = ModelConfig(
-        vocab_size=32768, n_layers=1, n_heads=2, n_kv_heads=1,
-        d_model=256, d_head=128, d_ff=1024, dtype=jnp.bfloat16, tile=tile,
     )
     tparams = init_params(tcfg, seed=0)
     dparams = init_params(dcfg, seed=7)
