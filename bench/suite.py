@@ -72,6 +72,75 @@ def _qkv_bf16(b, h, l, d, seed, lkv=None):
 
 # ----------------------------------------------------------------- entries
 
+def bench_referee_crosscheck():
+    """External-referee row (VERDICT r4 item 4): one gate per kernel
+    family against jax.nn.dot_product_attention — an implementation this
+    repo did not write — ON CHIP, mirroring the reference's PyTorch-SDPA
+    sanity file (flash_attention_v1/pytorch_imp.py:11-12) and its
+    Dao-AILab check (README.md:73-76).  The same cross-checks run as
+    pytest gates (tests/test_oracle.py); this row records them in the
+    results table.  f32 operands, so agreement is at referee precision
+    (1e-5 tier), not the bf16 storage tier."""
+    import jax
+    import jax.numpy as jnp
+    from exploring_flash_attention_tpu.configs import TileConfig
+    from exploring_flash_attention_tpu.oracle.reference import make_qkv
+    from exploring_flash_attention_tpu.ops import (
+        flash_attention_kvquant, flash_attention_v1, flash_attention_v2,
+    )
+    from exploring_flash_attention_tpu.configs import SplitKVConfig
+    from exploring_flash_attention_tpu.ops.quant import (
+        dequantize, quantize_int8,
+    )
+
+    def jnn(q, k, v, **kw):
+        # the referee must not quantize: on TPU f32 matmuls default to
+        # one-pass bf16, which would measure the REFEREE's rounding
+        # (observed 3e-3..1.9e-2), not the kernels'
+        with jax.default_matmul_precision("highest"):
+            return jax.nn.dot_product_attention(
+                q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2), **kw
+            ).swapaxes(1, 2)
+
+    q, k, v = make_qkv(2, 4, 256, 128, dtype=np.float32, seed=21)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    cfg = TileConfig(block_q=128, block_kv=128)
+    deltas = {}
+    deltas["v1_dense"] = float(jnp.max(jnp.abs(
+        flash_attention_v1(qj, kj, vj, config=cfg) - jnn(qj, kj, vj))))
+    deltas["v1_causal"] = float(jnp.max(jnp.abs(
+        flash_attention_v1(qj, kj, vj, config=cfg, causal=True)
+        - jnn(qj, kj, vj, is_causal=True))))
+    deltas["v1_window64"] = float(jnp.max(jnp.abs(
+        flash_attention_v1(qj, kj, vj, config=cfg, causal=True, window=64)
+        - jnn(qj, kj, vj, is_causal=True, local_window_size=(63, 0)))))
+    deltas["v2_splitkv"] = float(jnp.max(jnp.abs(
+        flash_attention_v2(qj, kj, vj, config=SplitKVConfig(
+            block_q=128, block_kv=128, kv_tiles_per_block=1))
+        - jnn(qj, kj, vj))))
+    kq = quantize_int8(kj, block=128)
+    vq = quantize_int8(vj, block=128)
+    deltas["kvquant_int8_dequant"] = float(jnp.max(jnp.abs(
+        flash_attention_kvquant(qj, kq, vq, config=TileConfig(128, 128),
+                                out_dtype=jnp.float32)
+        - jnn(qj, dequantize(kq), dequantize(vq)))))
+    # per-family tiers: the bf16-storage kernels (v1/v2 run f32 operands
+    # at HIGHEST via dot_precision, so referee-precision agreement);
+    # kvquant's pipeline stages probabilities in the storage dtype, so
+    # it agrees at the bf16-P tier even against dequantized operands
+    tiers = {"v1_dense": 1e-5, "v1_causal": 1e-5, "v1_window64": 1e-5,
+             "v2_splitkv": 1e-4, "kvquant_int8_dequant": 2e-3}
+    for fam, delta in deltas.items():
+        if delta > tiers[fam]:
+            raise AssertionError(
+                f"referee crosscheck: {fam} {delta:.2e} > {tiers[fam]:.0e} "
+                f"(all: {deltas})")
+    emit("referee_crosscheck_max_abs", max(deltas.values()), "max_abs",
+         None,
+         "vs jax.nn.dot_product_attention (third-party), f32: " + ", ".join(
+             f"{k} {v:.1e}" for k, v in deltas.items()))
+
+
 def bench_fwd_d128():
     """Canonical B32xH8xL1024xd128 forward (one-pass path).  Reference best:
     39 ms (d-tiled WMMA on sm_80, BASELINE.md)."""
@@ -1552,6 +1621,7 @@ def bench_spec_decode_distilled():
 
 
 ALL = {
+    "referee_crosscheck": bench_referee_crosscheck,
     "fwd_d128": bench_fwd_d128,
     "fwd_boundmax": bench_fwd_boundmax,
     "fwd_causal": bench_fwd_causal,
@@ -1593,11 +1663,17 @@ def main(argv):
         try:
             ALL[name]()
         except Exception as e:  # noqa: BLE001 — suite keeps going
-            failed.append(name)
-            print(json.dumps({
-                "metric": f"{name}_FAILED", "value": 0,
-                "unit": f"{type(e).__name__}: {str(e)[:120]}",
-            }))
+            # one retry: the remote-compile tunnel occasionally drops a
+            # response mid-read ("response body closed"), which is not a
+            # property of the entry under test
+            try:
+                ALL[name]()
+            except Exception as e:  # noqa: BLE001
+                failed.append(name)
+                print(json.dumps({
+                    "metric": f"{name}_FAILED", "value": 0,
+                    "unit": f"{type(e).__name__}: {str(e)[:120]}",
+                }))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     # merge with prior runs so partial invocations don't clobber the table
