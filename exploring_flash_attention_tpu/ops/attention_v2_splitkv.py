@@ -103,20 +103,26 @@ def _onepass_partial_kernel(
     v = v_ref[0]
 
     def span_body():
-        for q0 in range(0, block_q, q_chunk):
-            rows = min(q_chunk, block_q - q0)
+        # three-stage software pipeline over strips (round 5 — the dense
+        # headline kernel's restructure, _v1_onepass_fold_kernel): strip
+        # t+1's QK^T issues before strip t's max/exp2/PV, with the
+        # denominator/store/LSE trailing one more slot, so the
+        # critical-path reductions overlap MXU work.
+
+        def _stage_a(q0, rows):
             q = q_ref[0, q0:q0 + rows, :]
             pieces = []
             for k0 in range(0, kv_span, kv_chunk):
                 cols = min(kv_chunk, kv_span - k0)
                 k_c = k[k0:k0 + cols, :]
                 if causal and not has_offsets and not multi_span:
-                    # static offsets: chunk visible iff its first column is
-                    # <= the strip's last row in global coordinates —
-                    # invisible chunks cost a constant fill, not a matmul.
-                    # q_base is a traced program id, so use the static
-                    # worst-case (last) q block: exact when n_q == 1 (the
-                    # common op_block_q == Lq case), conservative otherwise.
+                    # static offsets: chunk visible iff its first column
+                    # is <= the strip's last row in global coordinates —
+                    # invisible chunks cost a constant fill, not a
+                    # matmul.  q_base is a traced program id, so use the
+                    # static worst-case (last) q block: exact when
+                    # n_q == 1 (the common op_block_q == Lq case),
+                    # conservative otherwise.
                     max_q_base = (cdiv(seq_len_q, block_q) - 1) * block_q
                     visible = (
                         (k0 + kv_pos0)
@@ -134,7 +140,6 @@ def _onepass_partial_kernel(
                 ))
             s = (jnp.concatenate(pieces, axis=1)
                  if len(pieces) > 1 else pieces[0])
-
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -143,29 +148,48 @@ def _onepass_partial_kernel(
                     <= (row + q_base + q0 + q_pos0),
                     s, NEG_INF,
                 )
+            return q0, rows, s
 
+        def _stage_b(q0, rows, s):
             m = jnp.max(s, axis=1, keepdims=True)
             arg = jnp.where(jnp.isneginf(m), NEG_INF, s * c - m * c)
-            # storage-dtype p feeds BOTH the PV matmul and the denominator
-            # (summed after the matmul so the VPU reduction rides under the
-            # MXU — the headline kernel's measured ordering, ~2%;
-            # scripts/proto_onepass10.py)
+            # storage-dtype p feeds BOTH the PV matmul and the
+            # denominator (summed after the matmul so the VPU reduction
+            # rides under the MXU — the headline kernel's measured
+            # ordering, ~2%; scripts/proto_onepass10.py)
             p = jnp.exp2(arg).astype(v.dtype)
             pv = jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=dot_precision(v),
             )
+            return q0, rows, m, p, pv
+
+        def _stage_c(q0, rows, m, p, pv):
             l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
             denom = jnp.where(l == 0.0, 1.0, l)
             o_part_ref[0, 0, q0:q0 + rows, :] = (pv / denom).astype(
                 o_part_ref.dtype)
             lse = jnp.where(
-                l[:, 0] == 0.0, NEG_INF, m[:, 0] * scale + jnp.log(l[:, 0])
+                l[:, 0] == 0.0, NEG_INF,
+                m[:, 0] * scale + jnp.log(l[:, 0])
             )
             lse_ref[0, 0, :, q0:q0 + rows] = jnp.broadcast_to(
                 lse[None, :], (8, rows)
             )
+
+        a_pend, b_pend = [], []
+        for q0 in range(0, block_q, q_chunk):
+            rows = min(q_chunk, block_q - q0)
+            a_pend.append(_stage_a(q0, rows))
+            if len(a_pend) > 1:
+                b_pend.append(_stage_b(*a_pend.pop(0)))
+            if len(b_pend) > 1:
+                _stage_c(*b_pend.pop(0))
+        for item in a_pend:
+            b_pend.append(_stage_b(*item))
+        for item in b_pend:
+            _stage_c(*item)
 
     if causal and multi_span:
         # whole-span skip: a span strictly above this q block's diagonal
